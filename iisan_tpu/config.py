@@ -1,0 +1,197 @@
+"""Structured configuration for the TPU-native IISAN framework.
+
+One dataclass replaces the three near-identical argparse files of the
+reference (``Code_Uncached/parameters.py``, ``Code_Cached/parameters.py``,
+``Code_Cached_Asym/parameters.py``).  Every reference flag is preserved with
+its exact name and default so that sweep commands written for the reference
+CLI drive this framework unchanged (see ``iisan_tpu/cli.py``).
+
+Reference: /root/reference/Code_Cached/parameters.py:4-99 and the asym deltas
+at /root/reference/Code_Cached_Asym/parameters.py:29-75.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from dataclasses import dataclass, field
+from typing import List, Optional, Tuple
+
+
+def _parse_int_list(s: str) -> Tuple[int, ...]:
+    s = s.strip()
+    if not s:
+        return ()
+    return tuple(int(x) for x in s.split(","))
+
+
+@dataclass
+class IISANConfig:
+    # ============== data_dir (parameters.py:7-14) ==============
+    mode: str = "train"
+    item_tower: str = "modal"
+    root_data_dir: str = "../"
+    dataset: str = "Dataset/Scientific"
+    behaviors: str = "am_Industrial_and_Scientific_users.tsv"
+    images: str = "Industrial_and_Scientific_items.tsv"
+    lmdb_data: str = "image.lmdb"
+    news: str = "Industrial_and_Scientific_items.tsv"
+
+    # ============== train parameters (parameters.py:18-25) ==============
+    batch_size: int = 64
+    epoch: int = 1
+    lr: float = 1e-4
+    fine_tune_lr_image: float = 1e-4
+    fine_tune_lr_text: float = 5e-5
+    l2_weight: float = 0.0
+    drop_rate: float = 0.1
+
+    # ============== model parameters (parameters.py:28-42) ==============
+    CV_model_load: str = "vit"
+    freeze_paras_before: int = 0
+    CV_resize: int = 224
+    embedding_dim: int = 64
+    num_attention_heads: int = 2
+    transformer_block: int = 2
+    max_seq_len: int = 10
+    min_seq_len: int = 5
+    arch: str = "sasrec"
+    use_scale: str = "half"
+    n_tokens: int = 10
+    bert_model_load: str = "bert_base_uncased"
+    word_embedding_dim: int = 768
+    use_cls: bool = True
+
+    # asym (IISAN-Versa) tower dims (Code_Cached_Asym/parameters.py:29-32)
+    text_embedding_dim: int = 768
+    image_embedding_dim: int = 768
+    text_layers: int = 12
+    image_layers: int = 12
+
+    # ============== news information (parameters.py:45-49) ==============
+    num_words_title: int = 30
+    num_words_abstract: int = 50
+    num_words_body: int = 50
+    news_attributes: Tuple[str, ...] = ("title",)
+
+    # ============== switch and logging (parameters.py:52-58) ==============
+    num_workers: int = 4
+    load_ckpt_name: str = "None"
+    label_screen: str = "None"
+    logging_num: int = 8
+    testing_num: int = 1
+    local_rank: int = -1
+    pretrained_recsys_model: str = "None"
+
+    # ============== adapters (parameters.py:61-83) ==============
+    adapter_down_size: int = 16
+    adding_adapter_to: str = "None"
+    fine_tune_to: str = "all"
+    adapter_cv_lr: float = 4e-4
+    adapter_bert_lr: float = 1e-4
+    bert_adapter_down_size: int = 64
+    adapter_sasrec_lr: float = 1e-4
+    cv_adapter_down_size: int = 64
+    adapter_dropout_rate: float = 0.1
+    adapter_activation: str = "RELU"
+    finetune_layernorm: str = "None"
+    is_serial: str = "True"
+    adapter_type: str = "houslby"
+    k_adapter_bert_list: Tuple[int, ...] = (0, 11)
+    k_adapter_bert_hidden_dim: int = 384
+    num_adapter_heads_sasrec: int = 2
+    num_adapter_heads_bert: int = 12
+    num_dnn: int = 0
+    hypercomplex_division: int = 8
+    phm_init_range: float = 1e-4
+
+    # ============== side adapter network (parameters.py:88-96) ==============
+    side_adapter_vit_list: str = "1,3,5,7,9,11"
+    side_adapter_bert_list: str = "1,3,5,7,9,11"
+    side_adapter_mm_list: str = "1,3,5,7,9,11"
+    fusion_method: str = "gated"
+    remove_first: str = "None"
+    fusion_inter: str = "add"
+    stored_vector_path: str = ""
+    modality: str = "intra_inter"  # intra_inter | inter | other (intra only)
+    seed: int = 12345
+
+    # asym cached-store selection (Code_Cached_Asym/parameters.py:72-75)
+    cached_image_model: str = "vit_outputs"
+    cached_text_prefix: str = "bert"
+    cached_image_prefix: str = "vit"
+    cached_text_model: str = "bert_outputs"
+
+    # ============== TPU-native extensions (no reference analog) ==============
+    # Which pipeline variant to run; replaces the reference's three source
+    # trees with one switch: Code_Uncached -> "uncached",
+    # Code_Cached -> "cached", Code_Cached_Asym -> "cached_asym".
+    pipeline: str = "cached"
+    compute_dtype: str = "bfloat16"  # activations dtype under jit (AMP analog)
+    param_dtype: str = "float32"
+    eval_batch_size: int = 256
+    mesh_shape: str = ""  # e.g. "data:8"; empty = all local devices on 1 axis
+    cache_format: str = "memmap"  # sharded array cache vs reference .pt files
+    use_pallas: bool = True  # enable fused Pallas kernels where profitable
+    log_dir: str = "./logs"
+    ckpt_dir: str = "./checkpoints"
+    early_stop_patience: int = 10  # hard-coded `> 10` at Code_Cached/run.py:458
+
+    # ------------------------------------------------------------------
+    # Derived SAN geometry.
+    # ------------------------------------------------------------------
+    def san_text_taps(self) -> Tuple[int, ...]:
+        """Absolute hidden-state indices fused by the text branch.
+
+        Mirrors Code_Cached_Asym/model/model.py:265-270 (the *corrected*
+        list wiring; Code_Uncached swaps the vit/bert list names, see
+        SURVEY.md section 2.3 - we implement the corrected semantics that the
+        published cached benchmarks used).
+
+        Both branches need hidden-state row 0: as fusion tap #0 when
+        ``remove_first`` is off ([0]+[i+1...], model.py:269), or as the
+        cascade's initial carry when on (model.py:335-337).  The returned
+        tuple is exactly the set of cache rows the data loader must gather.
+        """
+        lst = _parse_int_list(self.side_adapter_bert_list)
+        return (0,) + tuple(i + 1 for i in lst)
+
+    def san_image_taps(self) -> Tuple[int, ...]:
+        lst = _parse_int_list(self.side_adapter_vit_list)
+        return (0,) + tuple(i + 1 for i in lst)
+
+    @property
+    def remove_first_bool(self) -> bool:
+        return self.remove_first == "TRUE"
+
+    @property
+    def gated(self) -> bool:
+        return self.fusion_method == "gated"
+
+    @property
+    def text_num_hidden(self) -> int:
+        """Rows of the per-item cached text tensor (= layers + embeddings)."""
+        return self.text_layers + 1
+
+    @property
+    def image_num_hidden(self) -> int:
+        return self.image_layers + 1
+
+    def replace(self, **kw) -> "IISANConfig":
+        return dataclasses.replace(self, **kw)
+
+    def __post_init__(self):
+        if isinstance(self.news_attributes, str):
+            self.news_attributes = tuple(self.news_attributes.split(","))
+        if isinstance(self.k_adapter_bert_list, str):
+            self.k_adapter_bert_list = _parse_int_list(self.k_adapter_bert_list)
+
+    def with_bert_dims(self) -> "IISANConfig":
+        """Couple word_embedding_dim to the BERT size the way the trainer
+        does (Code_Cached/run.py:64-78).  Called by the CLI, not by
+        __post_init__, so programmatic configs can set dims freely."""
+        dim = {"tiny": 128, "mini": 256, "medium": 512,
+               "large": 1024, "base": 768}
+        for key, d in dim.items():
+            if key in self.bert_model_load:
+                return self.replace(word_embedding_dim=d)
+        return self

@@ -1,0 +1,135 @@
+"""Sharded hidden-state cache for "IISAN (Cached)" pipelines.
+
+The reference materializes one small ``{prefix}_{item}.pt`` file per item
+per tower (/root/reference/Code_Cached/preprocess_vectors.py:27-31) and
+re-reads them from the DataLoader every epoch
+(Code_Cached/data_utils/dataset.py:29-34,81-86) - tens of thousands of tiny
+files whose open/parse cost is why the repo carries an abandoned mmap
+workaround (Code_Cached_Asym/data_utils/dataset_cachmem.py, dead code).
+
+TPU-native replacement: ONE dense memory-mapped array per tower,
+``[item_num+1, layers+1, dim]`` keyed by dense item id (row 0 = zero padding
+item, mirroring Build_MM_EMBED_Eval_Dataset_Cached's zero tensor for id 0,
+dataset.py:277-280).  ``load_taps`` gathers only the SAN-selected layers and
+returns a device-resident table, after which every training batch is a pure
+on-device ``take`` - no host I/O in the hot loop at all.
+
+A compatibility importer converts a reference-layout directory of .pt files
+into this format, preserving the capability (not the file format) of
+Code_Cached/preprocess_vectors.py output.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+from dataclasses import dataclass
+from typing import Optional, Sequence
+
+import numpy as np
+
+META_NAME = "meta.json"
+DATA_NAME = "states.bin"
+
+
+@dataclass
+class CacheMeta:
+    n_items: int     # includes the padding row 0
+    n_layers: int    # layers + 1 (embeddings first, HF hidden_states order)
+    dim: int
+    dtype: str = "float16"
+
+    def to_json(self):
+        return json.dumps(self.__dict__)
+
+
+class HiddenStateCache:
+    """Dense on-disk per-item hidden-state store."""
+
+    def __init__(self, path: str, meta: CacheMeta, mode: str = "r"):
+        self.path = path
+        self.meta = meta
+        shape = (meta.n_items, meta.n_layers, meta.dim)
+        self._arr = np.memmap(
+            os.path.join(path, DATA_NAME),
+            dtype=np.dtype(meta.dtype),
+            mode=mode,
+            shape=shape,
+        )
+
+    # ------------------------------------------------------------------
+    @classmethod
+    def create(cls, path: str, n_items: int, n_layers: int, dim: int,
+               dtype: str = "float16") -> "HiddenStateCache":
+        os.makedirs(path, exist_ok=True)
+        meta = CacheMeta(n_items, n_layers, dim, dtype)
+        with open(os.path.join(path, META_NAME), "w") as f:
+            f.write(meta.to_json())
+        store = cls(path, meta, mode="w+")
+        store._arr[0] = 0  # padding item is all-zeros (dataset.py:277-280)
+        return store
+
+    @classmethod
+    def open(cls, path: str) -> "HiddenStateCache":
+        with open(os.path.join(path, META_NAME)) as f:
+            meta = CacheMeta(**json.loads(f.read()))
+        return cls(path, meta)
+
+    # ------------------------------------------------------------------
+    def write_rows(self, start: int, states: np.ndarray):
+        """Write a contiguous chunk of per-item states (cache builder path)."""
+        self._arr[start:start + states.shape[0]] = states
+
+    def flush(self):
+        self._arr.flush()
+
+    def load_taps(self, layer_ids: Sequence[int],
+                  dtype: str = "float32") -> np.ndarray:
+        """Gather only the SAN-selected layers: (n_items, K, dim).
+
+        For BERT-base this halves HBM residency vs the full 13 layers; for
+        Llama-3-70B caches (81 layers, 7 selected) it is the difference
+        between 26 GB and 2.3 GB on one chip.
+        """
+        idx = np.asarray(layer_ids)
+        return np.ascontiguousarray(self._arr[:, idx, :]).astype(dtype)
+
+    def load_full(self, dtype: str = "float32") -> np.ndarray:
+        return np.asarray(self._arr).astype(dtype)
+
+
+def import_reference_pt_dir(
+    pt_dir: str,
+    prefix: str,
+    item_names: Sequence[str],
+    out_path: str,
+    dtype: str = "float16",
+    key_fn=None,
+) -> HiddenStateCache:
+    """Convert a reference-layout ``{prefix}_{key}.pt`` directory into a
+    HiddenStateCache (dense ids follow ``item_names``; row 0 stays zero).
+
+    Mirrors the load path of dataset.py:29-34; requires torch (cpu).
+    """
+    import torch  # local import: torch is only needed for legacy migration
+
+    first = None
+    for name in item_names[1:]:
+        key = key_fn(name) if key_fn else name
+        p = os.path.join(pt_dir, f"{prefix}_{key}.pt")
+        if os.path.exists(p):
+            first = torch.load(p, map_location="cpu")
+            break
+    if first is None:
+        raise FileNotFoundError(f"no {prefix}_*.pt files under {pt_dir}")
+    n_layers, dim = first.shape
+    store = HiddenStateCache.create(out_path, len(item_names), n_layers, dim, dtype)
+    for i, name in enumerate(item_names):
+        if i == 0:
+            continue
+        key = key_fn(name) if key_fn else name
+        p = os.path.join(pt_dir, f"{prefix}_{key}.pt")
+        t = torch.load(p, map_location="cpu")
+        store.write_rows(i, t.numpy().astype(dtype)[None])
+    store.flush()
+    return store

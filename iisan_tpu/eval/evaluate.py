@@ -1,0 +1,104 @@
+"""Full-catalog ranking evaluation, entirely on device.
+
+Rebuild of get_MM_item_embeddings + eval_model
+(/root/reference/Code_Cached/data_utils/metrics.py:69-111,162-250).  The
+reference streams the catalog through the SAN, copies tables to CPU, then
+ranks user-by-user in a Python loop (metrics.py:207-245); here:
+
+  1. one jitted chunked SAN pass produces the per-modality tables;
+  2. ``com_dense`` fuses them once into a single (item_num+1, emb) table -
+     equivalent to fusing per-sequence (a linear map commutes with the
+     row-gather);
+  3. a jitted batch step gathers sequence rows, runs the user encoder,
+     scores the full catalog as one (B, items) matmul, scatter-masks each
+     user's history to -inf, drops the padding column, and computes
+     HR@10/nDCG@10 - no host round-trips, no per-user loop.
+
+Multi-chip: the batch axis is sharded over the ``data`` mesh axis; the mean
+reduction is the all_gather/mean of eval_concat (metrics.py:50-56).
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..ops.metrics import hit_ndcg_at_k, mask_history
+
+
+def compute_item_tables(model, params, cv_taps, text_taps,
+                        chunk: int = 4096, rngs=None):
+    """Chunked no-grad SAN pass over the catalog (metrics.py:69-111).
+
+    cv_taps/text_taps: (item_num+1, K, dim) device arrays.  Returns the
+    fused (item_num+1, emb) table.
+    """
+    n = cv_taps.shape[0]
+    n_pad = ((n + chunk - 1) // chunk) * chunk
+
+    @jax.jit
+    def emb_chunk(params, cv, text):
+        emb_cv, emb_text, emb_mm = model.apply(
+            {"params": params}, cv, text, method=model.item_embeddings)
+        return model.apply(
+            {"params": params}, emb_cv, emb_text, emb_mm,
+            method=model.fuse_embeddings)
+
+    outs = []
+    for s in range(0, n, chunk):
+        e = min(s + chunk, n)
+        cv = cv_taps[s:e]
+        text = text_taps[s:e]
+        if e - s < chunk:  # pad the tail chunk to keep one compiled shape
+            pad = chunk - (e - s)
+            cv = jnp.pad(cv, ((0, pad), (0, 0), (0, 0)))
+            text = jnp.pad(text, ((0, pad), (0, 0), (0, 0)))
+        outs.append(emb_chunk(params, cv, text))
+    table = jnp.concatenate(outs, axis=0)[:n]
+    return table
+
+
+def make_eval_step(model):
+    """Jitted per-batch ranking step."""
+
+    @jax.jit
+    def step(params, fused_table, tokens, log_mask, target, history):
+        input_embs = jnp.take(fused_table, tokens, axis=0)  # (B, L, emb)
+        prec = model.apply(
+            {"params": params}, input_embs, log_mask,
+            method=model.user_scores)[:, -1, :]              # (B, emb)
+        scores = jnp.dot(
+            prec.astype(jnp.float32), fused_table.T.astype(jnp.float32),
+            preferred_element_type=jnp.float32)              # (B, items+1)
+        scores = mask_history(scores, history)
+        scores = scores[:, 1:]                               # drop pad col
+        return hit_ndcg_at_k(scores, target - 1, k=10)       # (B, 2)
+
+    return step
+
+
+def evaluate(model, params, fused_table, tokens, log_mask, target, history,
+             batch_size: int = 256) -> Tuple[float, float]:
+    """Mean HR@10 / nDCG@10 over all users (eval_model, metrics.py:162-250)."""
+    step = make_eval_step(model)
+    n = tokens.shape[0]
+    n_pad = ((n + batch_size - 1) // batch_size) * batch_size
+    pad = n_pad - n
+
+    def pad0(x):
+        return np.concatenate([x, np.repeat(x[-1:], pad, axis=0)], axis=0) \
+            if pad else x
+
+    tokens, log_mask, target, history = map(pad0, (tokens, log_mask, target, history))
+    metrics = []
+    for s in range(0, n_pad, batch_size):
+        sl = slice(s, s + batch_size)
+        metrics.append(step(params, fused_table, tokens[sl], log_mask[sl],
+                            target[sl], history[sl]))
+    all_m = jnp.concatenate(metrics, axis=0)[:n]
+    hit, ndcg = jnp.mean(all_m, axis=0)
+    return float(hit), float(ndcg)

@@ -1,0 +1,227 @@
+"""Decoupled intra-/inter-modal Side Adapter Network (the IISAN contribution).
+
+One unified Flax module replaces the reference's three near-duplicate
+``IISANAdaptedMModel`` classes:
+
+- symmetric cached variant:  /root/reference/Code_Cached/model/model.py:257-349
+- asymmetric (IISAN-Versa):  /root/reference/Code_Cached_Asym/model/model.py:257-429
+- uncached variant:          /root/reference/Code_Uncached/model/model.py:166-271
+
+The SAN consumes per-layer CLS hidden states of two frozen towers and runs a
+cascade of gated bottleneck adapters:
+
+    gate_i  = sigmoid(theta_i / 0.1)          (zero-init => gate starts at 0.5)
+    fused_i = gate_i * tap_i + (1-gate_i) * carry
+    carry   = Adapter_i(fused_i)              (down-proj -> act -> up-proj + res)
+
+per modality (text-intra, image-intra) plus an accumulating inter branch
+
+    mm      = MMAdapter_i(mm + g_i * cv_tap_i + (1-g_i) * text_tap_i)
+
+IISAN-Versa extensions handled here:
+  * group layer-dropping - when the two towers select different numbers of
+    layers, the longer side runs its leading adapters alone first
+    (asym model.py:353-378);
+  * dimension-transform alignment - the wider modality's taps are projected
+    down before inter fusion (asym model.py:280-285,406-411).
+
+List-wiring note: Code_Uncached swaps ``side_adapter_vit_list`` /
+``side_adapter_bert_list`` (SURVEY.md section 2.3); we implement the corrected
+wiring of Code_Cached_Asym/model/model.py:266-270, which is what the
+published benchmarks used.
+
+TPU-first design: instead of receiving the full ``[layers+1, dim]`` cached
+tensor and slicing 13 python-level views (reference model.py:301-302), the
+module takes dense tap tensors of exactly the selected layers - the cache
+loader gathers only those rows, cutting HBM traffic by ~2x for the default
+config and ~10x for Llama-70B caches (81 layers, 7 selected).
+"""
+
+from __future__ import annotations
+
+from typing import Any, Optional, Tuple
+
+import jax.numpy as jnp
+from flax import linen as nn
+
+from .modules import AdapterBlock, TorchLinear, XavierLinear
+
+GATE_TEMPERATURE = 0.1  # hard-coded in every reference variant (model.py:321)
+
+
+class SideAdapterNetwork(nn.Module):
+    """Unified symmetric/asymmetric IISAN side network.
+
+    Inputs are "tap" tensors holding the selected hidden-state layers:
+      text_states: (N, Kt + first, text_dim)
+      cv_states:   (N, Kc + first, image_dim)
+    where ``first`` is 1 when ``remove_first`` (position 0 then carries the
+    embedding-layer state used as the cascade's initial carry,
+    model.py:306-309) and 0 otherwise (carry starts at zeros,
+    model.py:311-314).
+    """
+
+    embedding_dim: int
+    text_dim: int = 768
+    image_dim: int = 768
+    num_text_taps: int = 7  # fusion-step count Kt (len of side list [+1])
+    num_image_taps: int = 7  # Kc
+    bert_down_size: int = 64
+    cv_down_size: int = 64
+    activation: str = "RELU"
+    remove_first: bool = False
+    gated: bool = True
+    modality: str = "intra_inter"
+    head_mode: str = "cached"  # "cached": fc(D->D)+pre_fc(D->emb); "asym": fc(D->emb)+pre_fc(emb->emb)
+    dtype: Optional[Any] = None
+
+    def _gate(self, theta):
+        return nn.sigmoid(theta / GATE_TEMPERATURE)
+
+    @nn.compact
+    def __call__(self, cv_states, text_states):
+        dtype = self.dtype or text_states.dtype
+        cv_states = cv_states.astype(dtype)
+        text_states = text_states.astype(dtype)
+        n = text_states.shape[0]
+        kt, kc = self.num_text_taps, self.num_image_taps
+        k_mm = min(kt, kc)
+        diff_text, diff_cv = kt - k_mm, kc - k_mm
+        mm_dim = min(self.text_dim, self.image_dim)
+
+        intra = "intra" in self.modality
+        inter = "inter" in self.modality
+
+        if self.remove_first:
+            carry_text = text_states[:, 0, :]
+            carry_cv = cv_states[:, 0, :]
+            text_taps = text_states[:, 1:, :]
+            cv_taps = cv_states[:, 1:, :]
+        else:
+            carry_text = jnp.zeros((n, self.text_dim), dtype)
+            carry_cv = jnp.zeros((n, self.image_dim), dtype)
+            text_taps = text_states
+            cv_taps = cv_states
+        carry_mm = jnp.zeros((n, mm_dim), dtype)
+
+        # Adapter stacks (model.py:271-274) and gates (model.py:302-322);
+        # intra adapters/gates exist only when "intra" in modality
+        # (model.py:270-272,283-291).
+        if intra:
+            text_adapters = [
+                AdapterBlock(self.bert_down_size, self.activation, dtype=dtype,
+                             name=f"bert_adapter_list_{i}")
+                for i in range(kt)
+            ]
+            cv_adapters = [
+                AdapterBlock(self.cv_down_size, self.activation, dtype=dtype,
+                             name=f"cv_adapter_list_{i}")
+                for i in range(kc)
+            ]
+        if self.gated and intra:
+            gates_text = self.param(
+                "side_gate_params_text", nn.initializers.zeros, (kt,))
+            gates_cv = self.param(
+                "side_gate_params_cv", nn.initializers.zeros, (kc,))
+        if inter:
+            # The inter branch is gated regardless of fusion_method in every
+            # reachable reference path (model.py:335-338 reads the gates
+            # unconditionally), so the gates always exist here.
+            mm_down = self.cv_down_size if self.text_dim >= self.image_dim \
+                else self.bert_down_size
+            mm_adapters = [
+                AdapterBlock(mm_down, self.activation, dtype=dtype,
+                             name=f"mm_adapter_list_{i}")
+                for i in range(k_mm)
+            ]
+            gates_mm = self.param(
+                "side_gate_params_mm", nn.initializers.zeros, (k_mm,))
+            if self.text_dim != self.image_dim:
+                down_projects = [
+                    TorchLinear(mm_dim, dtype=dtype, name=f"down_project_list_{i}")
+                    for i in range(k_mm)
+                ]
+
+        def intra_step(branch, i, carry, tap):
+            if self.gated:
+                g = self._gate(gates_text[i] if branch == "text" else gates_cv[i])
+                fused = g * tap + (1.0 - g) * carry
+            else:
+                fused = tap + carry
+            adapters = text_adapters if branch == "text" else cv_adapters
+            return adapters[i](fused)
+
+        # Group layer-dropping prefix: longer tower runs alone first
+        # (asym model.py:361-378).
+        if intra or inter:
+            if intra:
+                for i in range(diff_text):
+                    carry_text = intra_step("text", i, carry_text, text_taps[:, i, :])
+                for i in range(diff_cv):
+                    carry_cv = intra_step("cv", i, carry_cv, cv_taps[:, i, :])
+
+            # Joint cascade over the common suffix (model.py:318-338 /
+            # asym model.py:381-417).
+            for i in range(k_mm):
+                ti, ci = diff_text + i, diff_cv + i
+                text_tap = text_taps[:, ti, :]
+                cv_tap = cv_taps[:, ci, :]
+                if intra:
+                    carry_text = intra_step("text", ti, carry_text, text_tap)
+                    carry_cv = intra_step("cv", ci, carry_cv, cv_tap)
+                if inter:
+                    mm_text, mm_cv = text_tap, cv_tap
+                    if self.text_dim > self.image_dim:
+                        mm_text = down_projects[i](mm_text)
+                    elif self.image_dim > self.text_dim:
+                        mm_cv = down_projects[i](mm_cv)
+                    g = self._gate(gates_mm[i])
+                    carry_mm = carry_mm + g * mm_cv + (1.0 - g) * mm_text
+                    carry_mm = mm_adapters[i](carry_mm)
+
+        # Output heads.  cached: fc(D->D) then pre_fc(D->emb) where pre_fc is
+        # the frozen tower's (trainable) classifier / title.fc
+        # (model.py:340-346); asym: fc(D->emb) then pre_fc(emb->emb)
+        # (asym model.py:263-264,292-294,420-427).
+        emb_cv = emb_text = emb_mm = None
+        if intra:
+            if self.head_mode == "cached":
+                t = TorchLinear(self.text_dim, dtype=dtype, name="fc_bert")(carry_text)
+                c = TorchLinear(self.image_dim, dtype=dtype, name="fc_cv")(carry_cv)
+                emb_text = TorchLinear(self.embedding_dim, dtype=dtype,
+                                       name="bert_pre_fc")(t)
+                # ViT classifier head is xavier-re-initialized (run.py:46-49).
+                emb_cv = XavierLinear(self.embedding_dim, dtype=dtype,
+                                      name="cv_pre_fc")(c)
+            else:
+                t = TorchLinear(self.embedding_dim, dtype=dtype, name="fc_bert")(carry_text)
+                c = TorchLinear(self.embedding_dim, dtype=dtype, name="fc_cv")(carry_cv)
+                emb_text = TorchLinear(self.embedding_dim, dtype=dtype,
+                                       name="bert_pre_fc")(t)
+                emb_cv = TorchLinear(self.embedding_dim, dtype=dtype,
+                                     name="cv_pre_fc")(c)
+        if inter:
+            m = TorchLinear(mm_dim, dtype=dtype, name="fc_mm")(carry_mm)
+            emb_mm = TorchLinear(self.embedding_dim, dtype=dtype,
+                                 name="fc_mm_down")(m)
+        return emb_cv, emb_text, emb_mm
+
+
+def san_from_config(cfg, head_mode: Optional[str] = None) -> SideAdapterNetwork:
+    """Build the SAN from an IISANConfig (see iisan_tpu/config.py)."""
+    first = 1 if cfg.remove_first_bool else 0
+    return SideAdapterNetwork(
+        embedding_dim=cfg.embedding_dim,
+        text_dim=cfg.text_embedding_dim if cfg.pipeline == "cached_asym" else cfg.word_embedding_dim,
+        image_dim=cfg.image_embedding_dim,
+        num_text_taps=len(cfg.san_text_taps()) - first,
+        num_image_taps=len(cfg.san_image_taps()) - first,
+        bert_down_size=cfg.bert_adapter_down_size,
+        cv_down_size=cfg.cv_adapter_down_size,
+        activation=cfg.adapter_activation,
+        remove_first=cfg.remove_first_bool,
+        gated=cfg.gated,
+        modality=cfg.modality,
+        head_mode=head_mode or ("asym" if cfg.pipeline == "cached_asym" else "cached"),
+        dtype=jnp.dtype(cfg.compute_dtype),
+    )

@@ -1,0 +1,220 @@
+"""IISAN (Cached) training pipeline.
+
+TPU rebuild of /root/reference/Code_Cached/run.py:38-421.  Design deltas
+from the reference, all in the TPU direction:
+
+  * The per-item ``.pt`` hidden-state files re-read by DataLoader workers
+    every step (dataset.py:81-86) become two device-resident tap tables
+    ``[item_num+1, K, dim]``; a training batch is an on-device gather.
+  * The epoch's DataLoader loop (run.py:368-393) becomes one jitted
+    ``lax.scan`` over shuffled user indices - zero host<->device traffic
+    per step, zero dispatch overhead, donated buffers.
+  * AMP autocast + GradScaler (run.py:356,380-385) become bf16 activations
+    with fp32 params/optimizer - no loss scaling needed on TPU.
+  * DistributedSampler padding (dataset.py:342-348) is reproduced by
+    wrapping the permutation to a whole number of batches.
+  * Per-epoch validation with early-stop patience 10 and test-on-new-best
+    mirror run.py:395-407,437-462.
+"""
+
+from __future__ import annotations
+
+import functools
+import logging
+import time
+from dataclasses import dataclass, field
+from typing import Any, Dict, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..config import IISANConfig
+from ..data.preprocess import Corpus
+from ..eval.evaluate import compute_item_tables, evaluate
+from ..models.model import IISANRecModel, rec_model_from_config
+from ..parallel.mesh import make_mesh, replicate
+from ..utils import checkpoint as ckpt_lib
+from .optim import build_optimizer
+
+log = logging.getLogger("iisan_tpu")
+
+
+@dataclass
+class TrainResult:
+    best_hit10: float
+    best_ndcg10: float
+    best_epoch: int
+    epochs_run: int
+    epoch_times: list = field(default_factory=list)
+    losses: list = field(default_factory=list)
+    test_metrics: Optional[Tuple[float, float]] = None
+
+
+class CachedTrainer:
+    """End-to-end cached-mode training (the reference's headline config)."""
+
+    def __init__(
+        self,
+        cfg: IISANConfig,
+        corpus: Corpus,
+        cv_taps: np.ndarray,    # (item_num+1, K_cv, image_dim)
+        text_taps: np.ndarray,  # (item_num+1, K_text, text_dim)
+        mesh=None,
+    ):
+        self.cfg = cfg
+        self.corpus = corpus
+        self.mesh = mesh or make_mesh(cfg.mesh_shape)
+        self.model = rec_model_from_config(cfg)
+
+        # Device residency: tap tables + the full (tiny) index arrays.
+        store_dt = jnp.dtype(cfg.compute_dtype)
+        self.cv_table = jax.device_put(cv_taps.astype(store_dt))
+        self.text_table = jax.device_put(text_taps.astype(store_dt))
+        self.pop_prob = jax.device_put(corpus.pop_prob)
+        self.train_seqs = jax.device_put(corpus.train_seqs)
+        self.train_log_mask = jax.device_put(corpus.train_log_mask)
+
+        rng = jax.random.PRNGKey(cfg.seed)
+        self.rng, init_rng = jax.random.split(rng)
+        L = cfg.max_seq_len
+        k_cv, k_text = cv_taps.shape[1], text_taps.shape[1]
+        dummy_ids = jnp.zeros((2, L + 1), jnp.int32)
+        variables = self.model.init(
+            {"params": init_rng, "dropout": init_rng},
+            dummy_ids,
+            jnp.zeros((2 * (L + 1), k_cv, cv_taps.shape[2]), store_dt),
+            jnp.zeros((2 * (L + 1), k_text, text_taps.shape[2]), store_dt),
+            jnp.zeros((2, L), jnp.float32),
+            self.pop_prob,
+            deterministic=True,
+        )
+        self.params = variables["params"]
+        self.tx = build_optimizer(cfg, self.params)
+        self.opt_state = self.tx.init(self.params)
+        self._epoch_fn = self._build_epoch_fn()
+
+        n_params = sum(x.size for x in jax.tree_util.tree_leaves(self.params))
+        log.info("##### trainable_num %d #####", n_params)
+
+    # ------------------------------------------------------------------
+    def _build_epoch_fn(self):
+        model, tx = self.model, self.tx
+        cfg = self.cfg
+
+        def loss_fn(params, cv, text, ids, mask, rng):
+            return model.apply(
+                {"params": params}, ids, cv, text, mask, self.pop_prob,
+                deterministic=False, rngs={"dropout": rng})
+
+        def step(carry, user_idx):
+            params, opt_state, rng, loss_sum = carry
+            rng, dropout_rng = jax.random.split(rng)
+            ids = jnp.take(self.train_seqs, user_idx, axis=0)
+            mask = jnp.take(self.train_log_mask, user_idx, axis=0)
+            flat = ids.reshape(-1)
+            cv = jnp.take(self.cv_table, flat, axis=0)
+            text = jnp.take(self.text_table, flat, axis=0)
+            loss, grads = jax.value_and_grad(loss_fn)(
+                params, cv, text, ids, mask, dropout_rng)
+            updates, opt_state = tx.update(grads, opt_state, params)
+            params = jax.tree_util.tree_map(lambda p, u: p + u, params, updates)
+            return (params, opt_state, rng, loss_sum + loss), loss
+
+        @functools.partial(jax.jit, donate_argnums=(0, 1))
+        def epoch_fn(params, opt_state, rng, perm):
+            # perm: (steps, batch) shuffled user indices.
+            (params, opt_state, rng, loss_sum), losses = jax.lax.scan(
+                step, (params, opt_state, rng, jnp.float32(0.0)), perm)
+            return params, opt_state, rng, loss_sum / perm.shape[0], losses
+
+        return epoch_fn
+
+    # ------------------------------------------------------------------
+    def epoch_permutation(self, epoch: int) -> np.ndarray:
+        """Shuffled user indices wrapped to whole batches.
+
+        sampler.set_epoch(seed+epoch) analog (run.py:367) with the
+        SequentialDistributedSampler-style wrap padding (dataset.py:342-348).
+        """
+        n = self.corpus.n_users
+        bs = self.cfg.batch_size
+        rng = np.random.default_rng(self.cfg.seed + epoch)
+        perm = rng.permutation(n)
+        n_pad = ((n + bs - 1) // bs) * bs
+        perm = np.resize(perm, n_pad)  # cyclic wrap, handles bs > n_users
+        return perm.reshape(-1, bs).astype(np.int32)
+
+    def run_epoch(self, epoch: int) -> float:
+        perm = jnp.asarray(self.epoch_permutation(epoch))
+        self.params, self.opt_state, self.rng, mean_loss, _ = self._epoch_fn(
+            self.params, self.opt_state, self.rng, perm)
+        return float(mean_loss)
+
+    # ------------------------------------------------------------------
+    def fused_item_table(self):
+        return compute_item_tables(
+            self.model, self.params, self.cv_table, self.text_table)
+
+    def evaluate_split(self, split: str = "valid") -> Tuple[float, float]:
+        c = self.corpus
+        table = self.fused_item_table()
+        if split == "valid":
+            args = (c.valid_tokens, c.valid_log_mask, c.valid_target, c.valid_history)
+        else:
+            args = (c.test_tokens, c.test_log_mask, c.test_target, c.test_history)
+        return evaluate(self.model, self.params, table, *args,
+                        batch_size=self.cfg.eval_batch_size)
+
+    def gate_values(self) -> Dict[str, np.ndarray]:
+        """Learned gate introspection (Code_Cached_Asym/run.py:255-270)."""
+        out = {}
+        san = self.params.get("san", {})
+        for name in ("side_gate_params_text", "side_gate_params_cv",
+                     "side_gate_params_mm"):
+            if name in san:
+                out[name] = np.asarray(jax.nn.sigmoid(san[name] / 0.1))
+        return out
+
+    # ------------------------------------------------------------------
+    def train(self, save_checkpoints: bool = False) -> TrainResult:
+        cfg = self.cfg
+        res = TrainResult(0.0, 0.0, 0, 0)
+        max_hit10, early_stop_count = 0.0, 0
+        start = time.time()
+        for ep in range(cfg.epoch):
+            now_epoch = ep + 1
+            t0 = time.time()
+            loss = self.run_epoch(now_epoch)
+            jax.block_until_ready(self.params)
+            epoch_time = time.time() - t0
+            res.epoch_times.append(epoch_time)
+            res.losses.append(loss)
+            hit, ndcg = self.evaluate_split("valid")
+            log.info(
+                "epoch %d loss %.5f valid Hit10 %.5f nDCG10 %.5f (%.2fs)",
+                now_epoch, loss, hit * 100, ndcg * 100, epoch_time)
+            res.epochs_run = now_epoch
+            if hit > res.best_hit10:
+                res.best_hit10, res.best_ndcg10 = hit, ndcg
+                res.best_epoch = now_epoch
+                early_stop_count = 0
+            else:
+                early_stop_count += 1
+                if early_stop_count > cfg.early_stop_patience:
+                    log.info("early stop at epoch %d", now_epoch)
+                    break
+            # Test on new best / every 10th epoch (run.py:402-405).
+            if hit > max_hit10 or max_hit10 == 0 or ep % 10 == 0:
+                max_hit10 = max(max_hit10, hit)
+                res.test_metrics = self.evaluate_split("test")
+                log.info("test Hit10 %.5f nDCG10 %.5f",
+                         res.test_metrics[0] * 100, res.test_metrics[1] * 100)
+                if save_checkpoints and jax.process_index() == 0:
+                    ckpt_lib.save_checkpoint(
+                        cfg.ckpt_dir, now_epoch,
+                        {"params": self.params, "opt_state": self.opt_state,
+                         "rng": self.rng, "epoch": now_epoch})
+        log.info("max eval Hit10 %.5f in epoch %d (total %.1fs)",
+                 res.best_hit10 * 100, res.best_epoch, time.time() - start)
+        return res

@@ -1,0 +1,96 @@
+"""Role-based multi-learning-rate optimizer.
+
+The reference builds a 5-group Adam by substring-matching parameter *names*
+(/root/reference/Code_Cached/run.py:260-307): text tower, image tower,
+recsys, cv-adapters, text-adapters.  Here the same assignment is made from
+the structured parameter tree path - a principled labeling that reproduces
+the reference's effective mapping (including its quirks, e.g. the cv-side
+gate scalars landing in the *image-tower* lr group because their name
+contains "cv" but not "adapter", run.py:269-276, and the inter-modal
+``mm_adapter`` stack landing in the cv-adapter group, run.py:286-287).
+
+Label table for the cached IISAN model (derived from run.py:267-292):
+
+  path contains                      group           lr flag
+  ---------------------------------  --------------  -------------------
+  san/bert_adapter_list_*            adapter_text    --adapter_bert_lr
+  san/cv_adapter_list_*              adapter_cv      --adapter_cv_lr
+  san/mm_adapter_list_*              adapter_cv      --adapter_cv_lr
+  san/side_gate_params_cv            image_tower     --fine_tune_lr_image
+  san/side_gate_params_text|mm       recsys          --lr
+  san/fc_bert                        text_tower      --fine_tune_lr_text
+  san/fc_cv                          image_tower     --fine_tune_lr_image
+  san/fc_mm, san/fc_mm_down          recsys          --lr
+  san/cv_pre_fc, san/bert_pre_fc     recsys          --lr
+  san/down_project_list_*            recsys          --lr
+  user_encoder/*, fuse/*             recsys          --lr
+  (uncached towers) bert/*           text_tower      --fine_tune_lr_text
+  (uncached towers) vit/*            image_tower     --fine_tune_lr_image
+"""
+
+from __future__ import annotations
+
+from typing import Any, Dict
+
+import jax
+import optax
+
+GROUPS = ("text_tower", "image_tower", "recsys", "adapter_cv", "adapter_text")
+
+
+def label_for_path(path: str) -> str:
+    """Map a '/'-joined parameter path to its optimizer group."""
+    if "bert_adapter_list" in path:
+        return "adapter_text"
+    if "cv_adapter_list" in path or "mm_adapter_list" in path:
+        return "adapter_cv"
+    if "side_gate_params_cv" in path:
+        return "image_tower"
+    if "side_gate_params" in path:
+        return "recsys"
+    if "fc_bert" in path:
+        return "text_tower"
+    if "fc_cv" in path:
+        return "image_tower"
+    # Frozen-tower fine-tune params (uncached FFT/LoRA/BitFit paths).
+    if path.startswith("bert/") or "/bert_model/" in path:
+        return "text_tower"
+    if path.startswith("vit/") or "/image_net/" in path:
+        return "image_tower"
+    return "recsys"
+
+
+def param_labels(params) -> Any:
+    flat = jax.tree_util.tree_map_with_path(
+        lambda kp, _: label_for_path(
+            "/".join(str(getattr(k, "key", k)) for k in kp)
+        ),
+        params,
+    )
+    return flat
+
+
+def build_optimizer(cfg, params, trainable_mask=None) -> optax.GradientTransformation:
+    """5-group Adam (torch defaults b1=.9 b2=.999 eps=1e-8, run.py:301-307).
+
+    ``trainable_mask``: optional pytree of bools - False params get
+    ``set_to_zero`` updates, the analog of requires_grad=False freezing
+    (run.py:154-160).
+    """
+    lrs: Dict[str, float] = {
+        "text_tower": cfg.fine_tune_lr_text,
+        "image_tower": cfg.fine_tune_lr_image,
+        "recsys": cfg.lr,
+        "adapter_cv": cfg.adapter_cv_lr,
+        "adapter_text": cfg.adapter_bert_lr,
+    }
+    transforms = {g: optax.adam(lr, b1=0.9, b2=0.999, eps=1e-8)
+                  for g, lr in lrs.items()}
+    tx = optax.multi_transform(transforms, param_labels(params))
+    if trainable_mask is not None:
+        tx = optax.chain(
+            optax.masked(optax.set_to_zero(),
+                         jax.tree_util.tree_map(lambda b: not b, trainable_mask)),
+            tx,
+        )
+    return tx
