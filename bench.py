@@ -1,0 +1,71 @@
+"""Headline benchmark: IISAN (Cached) training epoch on Amazon Scientific.
+
+Reference baseline: 22 s/epoch on an A100 (README.md:35); driver north-star:
+<= 5 s/epoch on one TPU v5e chip (BASELINE.md).  Runs the real Scientific
+corpus ETL (12,076 users / 20,825 items) with the published headline config
+(bs 64, emb 64, SAN layers 1,3,5,7,9,11, gated intra_inter - BASELINE.md
+"Reproduction context"); hidden-state caches are synthetic-valued but
+real-shaped (tower weights are not shipped in the reference snapshot), which
+leaves the timed compute path identical.
+
+Prints ONE json line: {"metric", "value", "unit", "vs_baseline"}.
+"""
+
+import json
+import os
+import sys
+import time
+
+import numpy as np
+
+REF_DATA = "/root/reference/Dataset/Scientific"
+BASELINE_EPOCH_S = 22.0  # A100 cached-mode epoch, reference README.md:35
+
+
+def build_corpus(cfg):
+    from iisan_tpu.data.preprocess import read_behaviors, read_items
+    from iisan_tpu.data.synthetic import synthetic_corpus
+
+    items_tsv = os.path.join(REF_DATA, "Industrial_and_Scientific_items.tsv")
+    users_tsv = os.path.join(REF_DATA, "am_Industrial_and_Scientific_users.tsv")
+    if os.path.exists(items_tsv) and os.path.exists(users_tsv):
+        titles, name_to_id, id_to_name = read_items(items_tsv)
+        return read_behaviors(users_tsv, name_to_id, id_to_name,
+                              cfg.max_seq_len, cfg.min_seq_len)
+    return synthetic_corpus(n_users=12076, item_num=20825, seed=0)
+
+
+def main():
+    from iisan_tpu.config import IISANConfig
+    from iisan_tpu.data.synthetic import synthetic_taps
+    from iisan_tpu.train.cached import CachedTrainer
+
+    cfg = IISANConfig(
+        batch_size=64, epoch=1, lr=2e-4, adapter_cv_lr=1e-4,
+        adapter_bert_lr=1e-4, fine_tune_lr_image=1e-4, fine_tune_lr_text=5e-5,
+        embedding_dim=64, bert_adapter_down_size=64, cv_adapter_down_size=64,
+        side_adapter_vit_list="1,3,5,7,9,11", side_adapter_bert_list="1,3,5,7,9,11",
+        modality="intra_inter", seed=12345)
+    corpus = build_corpus(cfg)
+    k = len(cfg.san_image_taps())
+    cv = synthetic_taps(corpus.item_num, k, 768, seed=1)
+    text = synthetic_taps(corpus.item_num, k, 768, seed=2)
+    trainer = CachedTrainer(cfg, corpus, cv, text)
+
+    trainer.run_epoch(0)  # compile + warm up
+    times = []
+    for ep in range(1, 4):
+        t0 = time.time()
+        trainer.run_epoch(ep)
+        times.append(time.time() - t0)
+    epoch_s = float(np.median(times))
+    print(json.dumps({
+        "metric": "cached_epoch_seconds_scientific",
+        "value": round(epoch_s, 4),
+        "unit": "s",
+        "vs_baseline": round(BASELINE_EPOCH_S / epoch_s, 2),
+    }))
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,114 @@
+"""Hidden-state cache builder: the ``preprocess_vectors.py`` replacement.
+
+The reference runs the frozen towers over the item catalog once, stacking
+the CLS vector of every hidden layer per item, and writes one small ``.pt``
+file per item per tower (/root/reference/Code_Cached/preprocess_vectors.py:
+68-112); the Versa builders repeat the pattern per encoder, with Llama
+variants mean-pooling tokens per layer instead of CLS
+(Code_Cached_Asym/preprocess_llama-3-70b_micro.py:67-70) and the EVA builder
+supporting skip-existing resume (process_eva_clip_vectors.py:54-57).
+
+TPU rebuild: one jitted batched tower forward per catalog chunk with a
+double-buffered host image/tokens feed, hidden-state CLS (or mean-pool)
+computed on device, results streamed into the dense memmap
+HiddenStateCache (data/cache_store.py) - no tiny-file storm.  Resume is a
+row-granular ``start_item`` (the builder records progress in meta).
+"""
+
+from __future__ import annotations
+
+import functools
+import logging
+from typing import Callable, Optional, Sequence
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from .data.cache_store import HiddenStateCache
+from .data.images import ParallelImageLoader
+
+log = logging.getLogger("iisan_tpu")
+
+
+@functools.partial(jax.jit, static_argnums=(0, 3))
+def _text_states(bert, params, tokens, pool: str = "cls"):
+    """(B, 2*num_words) packed tokens -> (B, layers+1, D) per-layer states.
+
+    pool="cls": hidden[:, 0] (preprocess_vectors.py:89-92);
+    pool="mean": attention-masked token mean per layer (the Llama builders,
+    preprocess_llama-3-70b_micro.py:67-70).
+    """
+    n = tokens.shape[1] // 2
+    ids, mask = tokens[:, :n], tokens[:, n:]
+    _, hiddens = bert.apply({"params": params}, ids, mask)  # (L+1, B, T, D)
+    if pool == "cls":
+        out = hiddens[:, :, 0, :]
+    else:
+        w = mask.astype(jnp.float32)[None, :, :, None]
+        out = jnp.sum(hiddens * w, axis=2) / jnp.maximum(
+            jnp.sum(w, axis=2), 1.0)
+    return out.transpose(1, 0, 2)  # (B, L+1, D)
+
+
+@functools.partial(jax.jit, static_argnums=0)
+def _image_states(vit, params, images):
+    _, hiddens = vit.apply({"params": params}, images)  # (L+1, B, T, D)
+    return hiddens[:, :, 0, :].transpose(1, 0, 2)
+
+
+def build_text_cache(bert, params, token_table: np.ndarray, out_path: str,
+                     batch: int = 128, pool: str = "cls",
+                     dtype: str = "float16",
+                     start_item: int = 1) -> HiddenStateCache:
+    """token_table: (item_num+1, 2*num_words); row 0 = padding (zeros)."""
+    n = token_table.shape[0]
+    probe = _text_states(bert, params, jnp.asarray(token_table[:1]), pool)
+    n_layers, dim = probe.shape[1], probe.shape[2]
+    store = HiddenStateCache.create(out_path, n, n_layers, dim, dtype)
+    for s in range(start_item, n, batch):
+        e = min(s + batch, n)
+        toks = np.resize(token_table[s:e], (batch, token_table.shape[1]))
+        states = _text_states(bert, params, jnp.asarray(toks), pool)
+        store.write_rows(s, np.asarray(states[: e - s]).astype(dtype))
+        if (s // batch) % 20 == 0:
+            log.info("text cache %d/%d", e, n)
+    store.flush()
+    return store
+
+
+def build_image_cache(vit, params, item_names: Sequence[str], image_store,
+                      out_path: str, resize: int = 224, batch: int = 128,
+                      dtype: str = "float16",
+                      start_item: int = 1) -> HiddenStateCache:
+    n = len(item_names)
+    probe = _image_states(vit, params,
+                          jnp.zeros((1, resize, resize, 3), jnp.float32))
+    n_layers, dim = probe.shape[1], probe.shape[2]
+    store = HiddenStateCache.create(out_path, n, n_layers, dim, dtype)
+    loader = ParallelImageLoader(image_store)
+    spans = [(s, min(s + batch, n)) for s in range(start_item, n, batch)]
+    name_batches = [
+        [item_names[i] for i in np.resize(np.arange(s, e), batch)]
+        for s, e in spans
+    ]
+    for (s, e), images in zip(spans, loader.iter_batches(name_batches)):
+        states = _image_states(vit, params, jnp.asarray(images))
+        store.write_rows(s, np.asarray(states[: e - s]).astype(dtype))
+        if (s // batch) % 20 == 0:
+            log.info("image cache %d/%d", e, n)
+    store.flush()
+    return store
+
+
+def verify_cache(store: HiddenStateCache, expect_layers: int,
+                 expect_dim: int) -> None:
+    """Shape smoke check - the ``test()`` of every reference builder
+    (preprocess_vectors.py:153-161)."""
+    m = store.meta
+    assert (m.n_layers, m.dim) == (expect_layers, expect_dim), \
+        f"cache shape {(m.n_layers, m.dim)} != {(expect_layers, expect_dim)}"
+    row = store.load_taps([0])
+    assert np.all(np.isfinite(row[:2]))
+    log.info("cache ok: %d items x %d layers x %d dim",
+             m.n_items, m.n_layers, m.dim)

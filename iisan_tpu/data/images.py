@@ -1,0 +1,189 @@
+"""Host-side image stores and decode pipeline for uncached training.
+
+The reference stores raw uint8 RGB images in LMDB (pickled ``LMDB_Image``
+records keyed by item name, /root/reference/Dataset/build_lmdb.py:13-86) and
+decodes+resizes+normalizes per sample inside DataLoader workers
+(Code_Uncached/data_utils/dataset.py:123-144).  Uncached training is
+dataloader-bound (11 images x 224^2 per sample), so this module provides:
+
+  * ``LmdbImageStore`` - reads the reference's exact LMDB format (gated on
+    the optional ``lmdb`` package);
+  * ``DirImageStore`` - plain directory of JPEG/PNG files keyed by item
+    name (no LMDB dependency);
+  * ``SyntheticImageStore`` - deterministic random images for CI/bench;
+  * ``ParallelImageLoader`` - a thread-pool decode + double-buffered
+    prefetch pipeline feeding the TPU, replacing torch DataLoader workers.
+
+Output layout is channels-last (H, W, 3) float32 in [-1, 1] (the reference's
+Normalize((.5,.5,.5),(.5,.5,.5)) on ToTensor output, dataset.py:54-59) -
+channels-last is the layout our ViT patchify consumes without transposes.
+"""
+
+from __future__ import annotations
+
+import os
+import pickle
+import queue
+import threading
+from concurrent.futures import ThreadPoolExecutor
+from typing import Iterable, Iterator, Optional, Sequence
+
+import numpy as np
+
+try:  # optional: the reference's storage backend
+    import lmdb  # type: ignore
+    HAS_LMDB = True
+except ImportError:  # pragma: no cover - environment without lmdb
+    lmdb = None
+    HAS_LMDB = False
+
+
+def _to_model_input(img_u8: np.ndarray, resize: int) -> np.ndarray:
+    """uint8 HWC RGB -> resized float32 HWC in [-1, 1]."""
+    from PIL import Image
+
+    im = Image.fromarray(img_u8).convert("RGB").resize(
+        (resize, resize), Image.BILINEAR)
+    arr = np.asarray(im, dtype=np.float32) / 255.0
+    return arr * 2.0 - 1.0
+
+
+class LMDBImage:
+    """Pickle-compatible record layout of Dataset/build_lmdb.py:13-23."""
+
+    def __init__(self, image: np.ndarray, id):
+        self.channels = image.shape[2]
+        self.size = image.shape[:2]
+        self.image = image.tobytes()
+        self.id = id
+
+    def get_image(self) -> np.ndarray:
+        arr = np.frombuffer(self.image, dtype=np.uint8)
+        return arr.reshape(*self.size, self.channels)
+
+
+class LmdbImageStore:
+    """Reads the reference LMDB layout (keys = ascii item names, plus
+    __keys__/__len__ metadata; cached variants strip 'v' from names,
+    Code_Cached/data_utils/preprocess.py:105)."""
+
+    def __init__(self, db_path: str, resize: int = 224, strip_v: bool = False):
+        if not HAS_LMDB:
+            raise ImportError("lmdb package not available; use DirImageStore")
+        self.env = lmdb.open(db_path, subdir=os.path.isdir(db_path),
+                             readonly=True, lock=False, readahead=False,
+                             meminit=False)
+        self.resize = resize
+        self.strip_v = strip_v
+
+    def key(self, name: str) -> bytes:
+        if self.strip_v:
+            name = name.replace("v", "")
+        return name.encode("ascii")
+
+    def get(self, name: str) -> np.ndarray:
+        with self.env.begin() as txn:
+            raw = txn.get(self.key(name))
+        rec = pickle.loads(raw)
+        return _to_model_input(rec.get_image(), self.resize)
+
+
+class DirImageStore:
+    """Directory of ``{name}.jpg`` files - the LMDB-free path."""
+
+    def __init__(self, root: str, resize: int = 224, ext: str = ".jpg"):
+        self.root = root
+        self.resize = resize
+        self.ext = ext
+
+    def get(self, name: str) -> np.ndarray:
+        from PIL import Image
+
+        path = os.path.join(self.root, name + self.ext)
+        im = Image.open(path)
+        return _to_model_input(np.asarray(im.convert("RGB")), self.resize)
+
+
+class SyntheticImageStore:
+    """Deterministic per-name random images (CI / benchmarking)."""
+
+    def __init__(self, resize: int = 224):
+        self.resize = resize
+
+    def get(self, name: str) -> np.ndarray:
+        seed = abs(hash(name)) % (2 ** 31)
+        rng = np.random.default_rng(seed)
+        return rng.uniform(-1, 1, (self.resize, self.resize, 3)).astype(np.float32)
+
+
+class ParallelImageLoader:
+    """Thread-pool decode with double-buffered prefetch.
+
+    Replaces torch DataLoader workers (Code_Uncached/run.py:134-135): the
+    caller iterates batches of item names; decode of batch k+1 overlaps the
+    device step on batch k (prefetch depth 2).
+    """
+
+    def __init__(self, store, num_threads: int = 8, prefetch: int = 2):
+        self.store = store
+        self.pool = ThreadPoolExecutor(max_workers=num_threads)
+        self.prefetch = prefetch
+
+    def _decode_batch(self, names: Sequence[str]) -> np.ndarray:
+        return np.stack(list(self.pool.map(self.store.get, names)))
+
+    def iter_batches(self, name_batches: Iterable[Sequence[str]]
+                     ) -> Iterator[np.ndarray]:
+        it = iter(name_batches)
+        # Bounded queue: blocking put() paces the producer to the consumer.
+        pending: "queue.Queue" = queue.Queue(maxsize=self.prefetch)
+        done = object()
+
+        def submit_all():
+            for names in it:
+                pending.put(self.pool.submit(self._decode_batch, names))
+            pending.put(done)
+
+        t = threading.Thread(target=submit_all, daemon=True)
+        t.start()
+        while True:
+            fut = pending.get()
+            if fut is done:
+                break
+            yield fut.result()
+
+
+def build_lmdb(items_tsv: str, image_dir: str, out_path: str,
+               commit_every: int = 5000):
+    """Build the reference-layout LMDB from a directory of JPEGs -
+    capability parity with Dataset/build_lmdb.py:25-86 (requires lmdb)."""
+    if not HAS_LMDB:
+        raise ImportError("lmdb package not available")
+    import pandas as pd
+    from PIL import Image
+
+    df = pd.read_table(items_tsv, header=None)
+    names = df[0].tolist()
+    env = lmdb.open(out_path, subdir=False, map_size=2 ** 40,
+                    readonly=False, meminit=False, map_async=True)
+    txn = env.begin(write=True)
+    keys, bad = [], []
+    for i, name in enumerate(names):
+        try:
+            img = np.asarray(
+                Image.open(os.path.join(image_dir, name + ".jpg")).convert("RGB"))
+        except Exception:
+            bad.append(name)
+            continue
+        key = name.encode("ascii")
+        txn.put(key, pickle.dumps(LMDBImage(img, name)))
+        keys.append(key)
+        if (i + 1) % commit_every == 0:
+            txn.commit()
+            txn = env.begin(write=True)
+    txn.put(b"__keys__", pickle.dumps(keys))
+    txn.put(b"__len__", pickle.dumps(len(keys)))
+    txn.commit()
+    env.sync()
+    env.close()
+    return bad

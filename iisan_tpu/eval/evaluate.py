@@ -14,6 +14,9 @@ ranks user-by-user in a Python loop (metrics.py:207-245); here:
      user's history to -inf, drops the padding column, and computes
      HR@10/nDCG@10 - no host round-trips, no per-user loop.
 
+All jitted entry points take the (hashable) flax module as a static
+argument so compilations are cached across epochs/evals.
+
 Multi-chip: the batch axis is sharded over the ``data`` mesh axis; the mean
 reduction is the all_gather/mean of eval_concat (metrics.py:50-56).
 """
@@ -21,7 +24,7 @@ reduction is the all_gather/mean of eval_concat (metrics.py:50-56).
 from __future__ import annotations
 
 import functools
-from typing import Optional, Tuple
+from typing import Tuple
 
 import jax
 import jax.numpy as jnp
@@ -30,24 +33,22 @@ import numpy as np
 from ..ops.metrics import hit_ndcg_at_k, mask_history
 
 
-def compute_item_tables(model, params, cv_taps, text_taps,
-                        chunk: int = 4096, rngs=None):
+@functools.partial(jax.jit, static_argnums=0)
+def _emb_chunk(model, params, cv, text):
+    emb_cv, emb_text, emb_mm = model.apply(
+        {"params": params}, cv, text, method=model.item_embeddings)
+    return model.apply(
+        {"params": params}, emb_cv, emb_text, emb_mm,
+        method=model.fuse_embeddings)
+
+
+def compute_item_tables(model, params, cv_taps, text_taps, chunk: int = 8192):
     """Chunked no-grad SAN pass over the catalog (metrics.py:69-111).
 
     cv_taps/text_taps: (item_num+1, K, dim) device arrays.  Returns the
     fused (item_num+1, emb) table.
     """
     n = cv_taps.shape[0]
-    n_pad = ((n + chunk - 1) // chunk) * chunk
-
-    @jax.jit
-    def emb_chunk(params, cv, text):
-        emb_cv, emb_text, emb_mm = model.apply(
-            {"params": params}, cv, text, method=model.item_embeddings)
-        return model.apply(
-            {"params": params}, emb_cv, emb_text, emb_mm,
-            method=model.fuse_embeddings)
-
     outs = []
     for s in range(0, n, chunk):
         e = min(s + chunk, n)
@@ -57,34 +58,30 @@ def compute_item_tables(model, params, cv_taps, text_taps,
             pad = chunk - (e - s)
             cv = jnp.pad(cv, ((0, pad), (0, 0), (0, 0)))
             text = jnp.pad(text, ((0, pad), (0, 0), (0, 0)))
-        outs.append(emb_chunk(params, cv, text))
-    table = jnp.concatenate(outs, axis=0)[:n]
-    return table
+        outs.append(_emb_chunk(model, params, cv, text))
+    if len(outs) == 1:
+        return outs[0][:n]
+    return jnp.concatenate(outs, axis=0)[:n]
 
 
-def make_eval_step(model):
-    """Jitted per-batch ranking step."""
-
-    @jax.jit
-    def step(params, fused_table, tokens, log_mask, target, history):
-        input_embs = jnp.take(fused_table, tokens, axis=0)  # (B, L, emb)
-        prec = model.apply(
-            {"params": params}, input_embs, log_mask,
-            method=model.user_scores)[:, -1, :]              # (B, emb)
-        scores = jnp.dot(
-            prec.astype(jnp.float32), fused_table.T.astype(jnp.float32),
-            preferred_element_type=jnp.float32)              # (B, items+1)
-        scores = mask_history(scores, history)
-        scores = scores[:, 1:]                               # drop pad col
-        return hit_ndcg_at_k(scores, target - 1, k=10)       # (B, 2)
-
-    return step
+@functools.partial(jax.jit, static_argnums=0)
+def eval_step(model, params, fused_table, tokens, log_mask, target, history):
+    """Jitted per-batch ranking step (metrics.py:207-245 vectorized)."""
+    input_embs = jnp.take(fused_table, tokens, axis=0)       # (B, L, emb)
+    prec = model.apply(
+        {"params": params}, input_embs, log_mask,
+        method=model.user_scores)[:, -1, :]                  # (B, emb)
+    scores = jnp.dot(
+        prec.astype(jnp.float32), fused_table.T.astype(jnp.float32),
+        preferred_element_type=jnp.float32)                  # (B, items+1)
+    scores = mask_history(scores, history)
+    scores = scores[:, 1:]                                   # drop pad col
+    return hit_ndcg_at_k(scores, target - 1, k=10)           # (B, 2)
 
 
 def evaluate(model, params, fused_table, tokens, log_mask, target, history,
              batch_size: int = 256) -> Tuple[float, float]:
     """Mean HR@10 / nDCG@10 over all users (eval_model, metrics.py:162-250)."""
-    step = make_eval_step(model)
     n = tokens.shape[0]
     n_pad = ((n + batch_size - 1) // batch_size) * batch_size
     pad = n_pad - n
@@ -97,8 +94,8 @@ def evaluate(model, params, fused_table, tokens, log_mask, target, history,
     metrics = []
     for s in range(0, n_pad, batch_size):
         sl = slice(s, s + batch_size)
-        metrics.append(step(params, fused_table, tokens[sl], log_mask[sl],
-                            target[sl], history[sl]))
+        metrics.append(eval_step(model, params, fused_table, tokens[sl],
+                                 log_mask[sl], target[sl], history[sl]))
     all_m = jnp.concatenate(metrics, axis=0)[:n]
     hit, ndcg = jnp.mean(all_m, axis=0)
     return float(hit), float(ndcg)

@@ -1,0 +1,199 @@
+"""Flax BERT encoder with per-layer hidden-state taps.
+
+TPU-native replacement for the HuggingFace torch ``BertModel`` the reference
+loads frozen (/root/reference/Code_Cached/run.py:58-81) and runs with
+``output_hidden_states=True`` (encoders.py:78-80); the cache builder stacks
+the CLS vector of each of the 13 hidden states (embeddings + 12 layers,
+preprocess_vectors.py:85-92).
+
+Faithful BERT-base semantics: learned word/position/token-type embeddings +
+LayerNorm(eps 1e-12), post-LN encoder blocks with GELU intermediate.  The
+model is frozen in every IISAN config (run.py:79-81), so parameters are held
+in a separate "frozen" collection: they are inputs to jit, not optimizer
+state, and XLA keeps them in bf16 HBM untouched.
+
+``hidden_states`` returned as one stacked array (L+1, B, T, D) rather than a
+python tuple - one array = one HBM layout XLA can slice for the SAN taps.
+
+Weight import: ``params_from_hf_torch`` maps a torch state_dict (from
+transformers' BertModel) onto this tree; verified against transformers'
+reference implementation in tests/test_towers.py.
+"""
+
+from __future__ import annotations
+
+import math
+from typing import Any, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from flax import linen as nn
+
+
+class BertSelfAttention(nn.Module):
+    num_heads: int
+    dtype: Any = jnp.float32
+    dropout: float = 0.1
+    lora_rank: int = 0  # LoRA on q/v projections (run.py:170-176 analog)
+
+    @nn.compact
+    def __call__(self, x, attn_bias, deterministic: bool = True):
+        from .peft import LoRADense
+
+        d = x.shape[-1]
+        dh = d // self.num_heads
+        if self.lora_rank > 0:
+            q = LoRADense(d, self.lora_rank, self.dtype, name="query")(x)
+            v = LoRADense(d, self.lora_rank, self.dtype, name="value")(x)
+        else:
+            q = nn.Dense(d, dtype=self.dtype, name="query")(x)
+            v = nn.Dense(d, dtype=self.dtype, name="value")(x)
+        k = nn.Dense(d, dtype=self.dtype, name="key")(x)
+        b, t = x.shape[0], x.shape[1]
+
+        def split(y):
+            return y.reshape(b, t, self.num_heads, dh).transpose(0, 2, 1, 3)
+
+        q, k, v = split(q), split(k), split(v)
+        logits = jnp.einsum("bhqd,bhkd->bhqk", q, k,
+                            preferred_element_type=jnp.float32)
+        logits = logits / math.sqrt(dh) + attn_bias
+        p = jax.nn.softmax(logits, axis=-1).astype(self.dtype)
+        p = nn.Dropout(self.dropout)(p, deterministic=deterministic)
+        o = jnp.einsum("bhqk,bhkd->bhqd", p, v,
+                       preferred_element_type=jnp.float32).astype(self.dtype)
+        return o.transpose(0, 2, 1, 3).reshape(b, t, d)
+
+
+class BertLayer(nn.Module):
+    num_heads: int
+    intermediate_dim: int
+    dtype: Any = jnp.float32
+    dropout: float = 0.1
+    lora_rank: int = 0
+    houlsby_down: int = 0       # Houlsby adapters (model.py:198-222 analog)
+    adapter_activation: str = "RELU"
+
+    @nn.compact
+    def __call__(self, x, attn_bias, deterministic: bool = True):
+        from .peft import HoulsbyAdapter
+
+        d = x.shape[-1]
+        attn = BertSelfAttention(self.num_heads, self.dtype, self.dropout,
+                                 self.lora_rank, name="attention")(
+            x, attn_bias, deterministic)
+        attn = nn.Dense(d, dtype=self.dtype, name="attention_output")(attn)
+        attn = nn.Dropout(self.dropout)(attn, deterministic=deterministic)
+        if self.houlsby_down > 0:
+            # BertAdaptedSelfOutput: dense -> dropout -> adapter -> LN(+res)
+            attn = HoulsbyAdapter(self.houlsby_down, self.adapter_activation,
+                                  self.dtype, name="attention_adapter")(attn)
+        x = nn.LayerNorm(epsilon=1e-12, dtype=jnp.float32,
+                         name="attention_layernorm")(
+            (x + attn).astype(jnp.float32)).astype(self.dtype)
+        h = nn.Dense(self.intermediate_dim, dtype=self.dtype,
+                     name="intermediate")(x)
+        h = nn.gelu(h, approximate=False)
+        h = nn.Dense(d, dtype=self.dtype, name="output")(h)
+        h = nn.Dropout(self.dropout)(h, deterministic=deterministic)
+        if self.houlsby_down > 0:
+            h = HoulsbyAdapter(self.houlsby_down, self.adapter_activation,
+                               self.dtype, name="output_adapter")(h)
+        x = nn.LayerNorm(epsilon=1e-12, dtype=jnp.float32,
+                         name="output_layernorm")(
+            (x + h).astype(jnp.float32)).astype(self.dtype)
+        return x
+
+
+class BertEncoder(nn.Module):
+    """BERT-base geometry by default; returns (last_hidden, all_hidden).
+
+    all_hidden: (num_layers+1, B, T, D) - HF hidden_states order
+    (embeddings output first).
+    """
+
+    vocab_size: int = 30522
+    hidden_dim: int = 768
+    num_layers: int = 12
+    num_heads: int = 12
+    intermediate_dim: int = 3072
+    max_position: int = 512
+    type_vocab_size: int = 2
+    dtype: Any = jnp.float32
+    dropout: float = 0.1
+    lora_rank: int = 0
+    houlsby_down: int = 0
+    adapter_activation: str = "RELU"
+
+    @nn.compact
+    def __call__(self, input_ids, attention_mask, deterministic: bool = True):
+        b, t = input_ids.shape
+        word = nn.Embed(self.vocab_size, self.hidden_dim,
+                        dtype=self.dtype, name="word_embeddings")(input_ids)
+        pos = self.param("position_embeddings", nn.initializers.normal(0.02),
+                         (self.max_position, self.hidden_dim))
+        tok_type = self.param("token_type_embeddings",
+                              nn.initializers.normal(0.02),
+                              (self.type_vocab_size, self.hidden_dim))
+        x = word + pos[None, :t, :].astype(self.dtype) \
+            + tok_type[0][None, None, :].astype(self.dtype)
+        x = nn.LayerNorm(epsilon=1e-12, dtype=jnp.float32,
+                         name="embeddings_layernorm")(
+            x.astype(jnp.float32)).astype(self.dtype)
+        x = nn.Dropout(self.dropout)(x, deterministic=deterministic)
+
+        # additive attention bias from the padding mask (HF convention:
+        # (1-mask) * large negative added to logits)
+        bias = (1.0 - attention_mask.astype(jnp.float32))[:, None, None, :] * -1e9
+
+        hiddens = [x]
+        for i in range(self.num_layers):
+            x = BertLayer(self.num_heads, self.intermediate_dim,
+                          self.dtype, self.dropout, self.lora_rank,
+                          self.houlsby_down, self.adapter_activation,
+                          name=f"layer_{i}")(x, bias, deterministic)
+            hiddens.append(x)
+        return x, jnp.stack(hiddens, axis=0)
+
+
+def params_from_hf_torch(state_dict, num_layers: int = 12, lora: bool = False):
+    """Map a transformers BertModel state_dict onto BertEncoder params.
+
+    ``lora=True`` nests q/v under the LoRADense "base" sublayer (the LoRA
+    A/B factors themselves are freshly initialized by model.init and should
+    be grafted from an init tree)."""
+
+    def t(name):
+        return np.asarray(state_dict[name].detach().cpu().numpy())
+
+    def lin(prefix):
+        return {"kernel": t(prefix + ".weight").T, "bias": t(prefix + ".bias")}
+
+    def qv(prefix):
+        return {"base": lin(prefix)} if lora else lin(prefix)
+
+    def ln(prefix):
+        return {"scale": t(prefix + ".weight"), "bias": t(prefix + ".bias")}
+
+    p = {
+        "word_embeddings": {"embedding": t("embeddings.word_embeddings.weight")},
+        "position_embeddings": t("embeddings.position_embeddings.weight"),
+        "token_type_embeddings": t("embeddings.token_type_embeddings.weight"),
+        "embeddings_layernorm": ln("embeddings.LayerNorm"),
+    }
+    for i in range(num_layers):
+        e = f"encoder.layer.{i}"
+        p[f"layer_{i}"] = {
+            "attention": {
+                "query": qv(f"{e}.attention.self.query"),
+                "key": lin(f"{e}.attention.self.key"),
+                "value": qv(f"{e}.attention.self.value"),
+            },
+            "attention_output": lin(f"{e}.attention.output.dense"),
+            "attention_layernorm": ln(f"{e}.attention.output.LayerNorm"),
+            "intermediate": lin(f"{e}.intermediate.dense"),
+            "output": lin(f"{e}.output.dense"),
+            "output_layernorm": ln(f"{e}.output.LayerNorm"),
+        }
+    return jax.tree_util.tree_map(jnp.asarray, p)

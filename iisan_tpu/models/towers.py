@@ -1,0 +1,233 @@
+"""Tower wrappers and full in-graph (uncached) recommendation models.
+
+Rebuilds of the encoder wrappers in
+/root/reference/Code_Uncached/model/encoders.py and the uncached top models
+(Code_Uncached/model/model.py): the frozen BERT/ViT towers run inside the
+jitted train step with per-layer CLS taps feeding the SAN.
+
+Key semantics:
+  * ``TextTower`` == Text_Encoder (encoders.py:61-83): packed
+    [ids | attention_mask] input split down the middle, BERT forward,
+    CLS -> fc(768->emb) -> GELU plus all hidden states.
+  * ``ImageTower`` == Vit_Encoder + the re-initialized classifier head
+    (run.py:44-49): ViT forward, CLS of the final-LN output -> xavier
+    Linear(768->emb); Vit_Encoder applies GELU to the logits
+    (encoders.py:23-25).
+  * ``UncachedIISANModel`` == ModelMM + uncached IISANAdaptedMModel
+    (model.py:166-271): tower hidden-state CLS taps (model.py:212-213)
+    -> SAN cascade -> com_dense -> SASRec -> in-batch CE.  Tower outputs
+    pass through stop_gradient when the towers are frozen (requires_grad
+    False analog, run.py:185-187), so backward never touches them.
+  * ``FFTRecModel`` == the two-tower full-fine-tune ``Model``
+    (Code_Cached/model/model.py:109-195) with Text_EncoderFFT /
+    Vit_EncoderFFT heads; also covers LoRA/Houlsby/BitFit since those are
+    tower options + trainability masks.
+"""
+
+from __future__ import annotations
+
+from typing import Any, Optional, Sequence, Tuple
+
+import jax
+import jax.numpy as jnp
+from flax import linen as nn
+
+from ..ops.losses import inbatch_ce_loss
+from .bert import BertEncoder
+from .model import ComDense
+from .modules import TorchLinear, XavierLinear
+from .san import SideAdapterNetwork
+from .user_encoder import UserEncoder
+from .vit import ViTEncoder
+
+
+class TextTower(nn.Module):
+    """BERT + CLS head (Text_Encoder, encoders.py:61-83)."""
+
+    bert: BertEncoder
+    embedding_dim: int
+    num_words: int  # num_words_title; input is packed [ids | mask] of 2x
+
+    @nn.compact
+    def __call__(self, tokens, deterministic: bool = True):
+        ids = tokens[:, : self.num_words]
+        mask = tokens[:, self.num_words:]
+        last, hiddens = self.bert(ids, mask, deterministic)
+        cls = TorchLinear(self.embedding_dim, name="fc")(last[:, 0])
+        return nn.gelu(cls, approximate=False), hiddens
+
+
+class ImageTower(nn.Module):
+    """ViT + classifier head (Vit_Encoder + run.py:44-49)."""
+
+    vit: ViTEncoder
+    embedding_dim: int
+
+    @nn.compact
+    def __call__(self, images, deterministic: bool = True):
+        pooled, hiddens = self.vit(images, deterministic)
+        logits = XavierLinear(self.embedding_dim, name="classifier")(
+            pooled[:, 0])
+        return nn.gelu(logits, approximate=False), hiddens
+
+
+def take_cls_taps(hiddens: jnp.ndarray, tap_ids: Sequence[int]) -> jnp.ndarray:
+    """(layers+1, N, T, D) hidden stack -> (N, K, D) CLS taps
+    (model.py:212-213: hidden_states[i][:, 0])."""
+    taps = hiddens[jnp.asarray(tap_ids)][:, :, 0, :]  # (K, N, D)
+    return taps.transpose(1, 0, 2)
+
+
+class UncachedIISANModel(nn.Module):
+    """Frozen towers in-graph + SAN + user encoder (the Code_Uncached path)."""
+
+    text_tower: TextTower
+    image_tower: ImageTower
+    san: SideAdapterNetwork
+    embedding_dim: int
+    max_seq_len: int
+    num_attention_heads: int
+    transformer_block: int
+    drop_rate: float
+    text_tap_ids: Tuple[int, ...]
+    image_tap_ids: Tuple[int, ...]
+    modality: str = "intra_inter"
+    freeze_towers: bool = True
+    dtype: Optional[Any] = None
+
+    def setup(self):
+        self.user_encoder = UserEncoder(
+            max_seq_len=self.max_seq_len,
+            num_attention_heads=self.num_attention_heads,
+            n_layers=self.transformer_block,
+            dropout=self.drop_rate,
+            dtype=self.dtype,
+        )
+        self.fuse = ComDense(self.embedding_dim, self.modality, dtype=self.dtype)
+
+    def encode_taps(self, images, tokens, deterministic: bool = True):
+        """Run both towers, returning SAN tap tensors."""
+        _, h_cv = self.image_tower(images, deterministic)
+        _, h_text = self.text_tower(tokens, deterministic)
+        cv_taps = take_cls_taps(h_cv, self.image_tap_ids)
+        text_taps = take_cls_taps(h_text, self.text_tap_ids)
+        if self.freeze_towers:
+            # requires_grad=False analog: gradients stop at the tap boundary
+            cv_taps = jax.lax.stop_gradient(cv_taps)
+            text_taps = jax.lax.stop_gradient(text_taps)
+        return cv_taps, text_taps
+
+    def item_embeddings(self, images, tokens):
+        cv_taps, text_taps = self.encode_taps(images, tokens, True)
+        return self.san(cv_taps, text_taps)
+
+    def fuse_embeddings(self, emb_cv, emb_text, emb_mm):
+        return self.fuse(emb_cv, emb_text, emb_mm)
+
+    def user_scores(self, input_embs, log_mask, deterministic=True):
+        return self.user_encoder(input_embs, log_mask, deterministic)
+
+    def __call__(self, item_ids, images, tokens, log_mask, pop_prob,
+                 deterministic: bool = False):
+        cv_taps, text_taps = self.encode_taps(images, tokens, deterministic)
+        emb_cv, emb_text, emb_mm = self.san(cv_taps, text_taps)
+        score_embs = self.fuse(emb_cv, emb_text, emb_mm)
+        bs = log_mask.shape[0]
+        input_embs = score_embs.reshape(bs, self.max_seq_len + 1,
+                                        self.embedding_dim)
+        prec_vec = self.user_encoder(input_embs[:, :-1, :], log_mask,
+                                     deterministic)
+        return inbatch_ce_loss(
+            prec_vec.astype(jnp.float32), score_embs.astype(jnp.float32),
+            item_ids, log_mask, pop_prob)
+
+
+class FFTRecModel(nn.Module):
+    """Two-tower full-fine-tune baseline (``Model``,
+    Code_Cached/model/model.py:109-195); with lora_rank/houlsby_down set on
+    the towers plus a trainability mask this same class is the LoRA /
+    Houlsby / BitFit baseline."""
+
+    text_tower: TextTower
+    image_tower: ImageTower
+    embedding_dim: int
+    max_seq_len: int
+    num_attention_heads: int
+    transformer_block: int
+    drop_rate: float
+    dtype: Optional[Any] = None
+
+    def setup(self):
+        self.user_encoder = UserEncoder(
+            max_seq_len=self.max_seq_len,
+            num_attention_heads=self.num_attention_heads,
+            n_layers=self.transformer_block,
+            dropout=self.drop_rate,
+            dtype=self.dtype,
+        )
+        # FFT always fuses two intra embeddings (model.py:138).
+        self.fuse = ComDense(self.embedding_dim, "fft", dtype=self.dtype)
+
+    def item_embeddings(self, images, tokens):
+        emb_cv, _ = self.image_tower(images, True)
+        emb_text, _ = self.text_tower(tokens, True)
+        return emb_cv, emb_text, None
+
+    def fuse_embeddings(self, emb_cv, emb_text, emb_mm):
+        return self.fuse(emb_cv, emb_text, emb_mm)
+
+    def user_scores(self, input_embs, log_mask, deterministic=True):
+        return self.user_encoder(input_embs, log_mask, deterministic)
+
+    def __call__(self, item_ids, images, tokens, log_mask, pop_prob,
+                 deterministic: bool = False):
+        emb_cv, _ = self.image_tower(images, deterministic)
+        emb_text, _ = self.text_tower(tokens, deterministic)
+        score_embs = self.fuse(emb_cv, emb_text, None)
+        bs = log_mask.shape[0]
+        input_embs = score_embs.reshape(bs, self.max_seq_len + 1,
+                                        self.embedding_dim)
+        prec_vec = self.user_encoder(input_embs[:, :-1, :], log_mask,
+                                     deterministic)
+        return inbatch_ce_loss(
+            prec_vec.astype(jnp.float32), score_embs.astype(jnp.float32),
+            item_ids, log_mask, pop_prob)
+
+
+def towers_from_config(cfg, dtype=None):
+    """Build BERT/ViT towers at the geometry the config names
+    (run.py:41-78's model-selection logic, config-driven instead of
+    string-matched)."""
+    dtype = dtype or jnp.dtype(cfg.compute_dtype)
+    peft = {
+        "lora_rank": cfg.bert_adapter_down_size
+        if cfg.adapter_type == "lora" and cfg.adding_adapter_to != "None" else 0,
+        "houlsby_down": 0,
+        "adapter_activation": cfg.adapter_activation,
+    }
+    if cfg.adapter_type == "houslby" and cfg.adding_adapter_to != "None":
+        peft["houlsby_down"] = cfg.bert_adapter_down_size
+    bert = BertEncoder(
+        hidden_dim=cfg.word_embedding_dim,
+        num_layers=cfg.text_layers,
+        num_heads=max(1, cfg.word_embedding_dim // 64),
+        intermediate_dim=cfg.word_embedding_dim * 4,
+        dtype=dtype,
+        **peft,
+    )
+    vit_peft = dict(peft)
+    if cfg.adapter_type == "houslby" and cfg.adding_adapter_to != "None":
+        vit_peft["houlsby_down"] = cfg.cv_adapter_down_size
+    vit = ViTEncoder(
+        image_size=cfg.CV_resize,
+        hidden_dim=cfg.image_embedding_dim,
+        num_layers=cfg.image_layers,
+        num_heads=max(1, cfg.image_embedding_dim // 64),
+        intermediate_dim=cfg.image_embedding_dim * 4,
+        dtype=dtype,
+        **vit_peft,
+    )
+    text_tower = TextTower(bert=bert, embedding_dim=cfg.embedding_dim,
+                           num_words=cfg.num_words_title)
+    image_tower = ImageTower(vit=vit, embedding_dim=cfg.embedding_dim)
+    return text_tower, image_tower

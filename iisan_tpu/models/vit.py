@@ -1,0 +1,206 @@
+"""Flax ViT encoder with per-layer hidden-state taps.
+
+TPU-native replacement for the HF torch ``ViTForImageClassification`` tower
+the reference loads frozen (/root/reference/Code_Cached/run.py:41-49) and
+runs with ``output_hidden_states=True`` (encoders.py:23-25); the cache
+builder stacks the CLS of each of the 13 hidden states
+(preprocess_vectors.py:96-103).
+
+ViT-base/16 semantics: conv patch embedding (16x16/16), prepended CLS token,
+learned position embeddings, pre-LN blocks (LN -> MHA -> residual,
+LN -> MLP(gelu) -> residual), final LayerNorm applied only to the last
+hidden state.  HF ``hidden_states`` entries are the raw (pre-final-LN) block
+outputs with the embedding output first - reproduced exactly, since those
+are what the SAN fuses.
+
+The patchify conv is expressed as reshape + one (N*196, 768)x(768, D)
+matmul - on TPU that lands on the MXU directly instead of relying on conv
+lowering.
+"""
+
+from __future__ import annotations
+
+import math
+from typing import Any
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from flax import linen as nn
+
+
+class ViTSelfAttention(nn.Module):
+    num_heads: int
+    dtype: Any = jnp.float32
+    dropout: float = 0.0
+    lora_rank: int = 0  # LoRA on q/v (run.py:168-171 analog)
+
+    @nn.compact
+    def __call__(self, x, deterministic: bool = True):
+        from .peft import LoRADense
+
+        d = x.shape[-1]
+        dh = d // self.num_heads
+        if self.lora_rank > 0:
+            q = LoRADense(d, self.lora_rank, self.dtype, name="query")(x)
+            v = LoRADense(d, self.lora_rank, self.dtype, name="value")(x)
+        else:
+            q = nn.Dense(d, dtype=self.dtype, name="query")(x)
+            v = nn.Dense(d, dtype=self.dtype, name="value")(x)
+        k = nn.Dense(d, dtype=self.dtype, name="key")(x)
+        b, t = x.shape[0], x.shape[1]
+
+        def split(y):
+            return y.reshape(b, t, self.num_heads, dh).transpose(0, 2, 1, 3)
+
+        q, k, v = split(q), split(k), split(v)
+        logits = jnp.einsum("bhqd,bhkd->bhqk", q, k,
+                            preferred_element_type=jnp.float32) / math.sqrt(dh)
+        p = jax.nn.softmax(logits, axis=-1).astype(self.dtype)
+        p = nn.Dropout(self.dropout)(p, deterministic=deterministic)
+        o = jnp.einsum("bhqk,bhkd->bhqd", p, v,
+                       preferred_element_type=jnp.float32).astype(self.dtype)
+        return o.transpose(0, 2, 1, 3).reshape(b, t, d)
+
+
+class ViTBlock(nn.Module):
+    num_heads: int
+    intermediate_dim: int
+    dtype: Any = jnp.float32
+    dropout: float = 0.0
+    lora_rank: int = 0
+    houlsby_down: int = 0   # VITAdaptedSelfOutput/VITAdaptedOutput analog
+    adapter_activation: str = "RELU"
+
+    @nn.compact
+    def __call__(self, x, deterministic: bool = True):
+        from .peft import HoulsbyAdapter
+
+        d = x.shape[-1]
+        h = nn.LayerNorm(epsilon=1e-12, dtype=jnp.float32,
+                         name="layernorm_before")(
+            x.astype(jnp.float32)).astype(self.dtype)
+        h = ViTSelfAttention(self.num_heads, self.dtype, self.dropout,
+                             self.lora_rank, name="attention")(h, deterministic)
+        h = nn.Dense(d, dtype=self.dtype, name="attention_output")(h)
+        h = nn.Dropout(self.dropout)(h, deterministic=deterministic)
+        if self.houlsby_down > 0:
+            # VITAdaptedSelfOutput: dense -> dropout -> adapter (model.py:225-238)
+            h = HoulsbyAdapter(self.houlsby_down, self.adapter_activation,
+                               self.dtype, name="attention_adapter")(h)
+        x = x + h
+        h = nn.LayerNorm(epsilon=1e-12, dtype=jnp.float32,
+                         name="layernorm_after")(
+            x.astype(jnp.float32)).astype(self.dtype)
+        h = nn.Dense(self.intermediate_dim, dtype=self.dtype,
+                     name="intermediate")(h)
+        h = nn.gelu(h, approximate=False)
+        h = nn.Dense(d, dtype=self.dtype, name="output")(h)
+        h = nn.Dropout(self.dropout)(h, deterministic=deterministic)
+        if self.houlsby_down > 0:
+            # VITAdaptedOutput: dense -> dropout -> adapter -> +input
+            h = HoulsbyAdapter(self.houlsby_down, self.adapter_activation,
+                               self.dtype, name="output_adapter")(h)
+        return x + h
+
+
+class ViTEncoder(nn.Module):
+    """ViT-base/16 geometry by default; returns (pooled_last, all_hidden).
+
+    Input images: (B, H, W, 3) channels-last, already resized/normalized
+    (the +-0.5 normalization of dataset.py:54-59 happens in the host
+    pipeline).  all_hidden: (num_layers+1, B, 197, D), HF hidden_states
+    order (pre-final-LN block outputs).  pooled_last is the final-LN'd last
+    hidden state - what HF feeds the classifier head.
+    """
+
+    image_size: int = 224
+    patch_size: int = 16
+    hidden_dim: int = 768
+    num_layers: int = 12
+    num_heads: int = 12
+    intermediate_dim: int = 3072
+    dtype: Any = jnp.float32
+    dropout: float = 0.0
+    lora_rank: int = 0
+    houlsby_down: int = 0
+    adapter_activation: str = "RELU"
+
+    @nn.compact
+    def __call__(self, images, deterministic: bool = True):
+        b = images.shape[0]
+        p = self.patch_size
+        n = self.image_size // p  # 14
+        # Patchify as reshape+matmul: (B, n, p, n, p, 3) -> (B, n*n, p*p*3).
+        x = images.astype(self.dtype).reshape(b, n, p, n, p, 3)
+        x = x.transpose(0, 1, 3, 2, 4, 5).reshape(b, n * n, p * p * 3)
+        x = nn.Dense(self.hidden_dim, dtype=self.dtype,
+                     name="patch_projection")(x)
+        cls = self.param("cls_token", nn.initializers.zeros,
+                         (1, 1, self.hidden_dim))
+        x = jnp.concatenate(
+            [jnp.broadcast_to(cls.astype(self.dtype), (b, 1, self.hidden_dim)), x],
+            axis=1)  # (B, 197, D)
+        pos = self.param("position_embeddings", nn.initializers.normal(0.02),
+                         (1, n * n + 1, self.hidden_dim))
+        x = x + pos.astype(self.dtype)
+
+        x = nn.Dropout(self.dropout)(x, deterministic=deterministic)
+        hiddens = [x]
+        for i in range(self.num_layers):
+            x = ViTBlock(self.num_heads, self.intermediate_dim,
+                         self.dtype, self.dropout, self.lora_rank,
+                         self.houlsby_down, self.adapter_activation,
+                         name=f"layer_{i}")(x, deterministic)
+            hiddens.append(x)
+        last = nn.LayerNorm(epsilon=1e-12, dtype=jnp.float32,
+                            name="final_layernorm")(
+            x.astype(jnp.float32)).astype(self.dtype)
+        return last, jnp.stack(hiddens, axis=0)
+
+
+def params_from_hf_torch(state_dict, num_layers: int = 12,
+                         prefix: str = "vit.", lora: bool = False):
+    """Map a transformers ViTModel/ViTForImageClassification state_dict onto
+    ViTEncoder params (HF conv patch kernel (D,3,p,p) -> dense (p*p*3, D))."""
+
+    def t(name):
+        return np.asarray(state_dict[prefix + name].detach().cpu().numpy())
+
+    def lin(name):
+        return {"kernel": t(name + ".weight").T, "bias": t(name + ".bias")}
+
+    def qv(name):
+        return {"base": lin(name)} if lora else lin(name)
+
+    def ln(name):
+        return {"scale": t(name + ".weight"), "bias": t(name + ".bias")}
+
+    conv_w = t("embeddings.patch_embeddings.projection.weight")  # (D,3,p,p)
+    d, c, p1, p2 = conv_w.shape
+    # Our patch vector layout is (p, p, 3) flattened row-major.
+    kernel = conv_w.transpose(2, 3, 1, 0).reshape(p1 * p2 * c, d)
+    params = {
+        "patch_projection": {
+            "kernel": kernel,
+            "bias": t("embeddings.patch_embeddings.projection.bias"),
+        },
+        "cls_token": t("embeddings.cls_token"),
+        "position_embeddings": t("embeddings.position_embeddings"),
+        "final_layernorm": ln("layernorm"),
+    }
+    for i in range(num_layers):
+        e = f"encoder.layer.{i}"
+        params[f"layer_{i}"] = {
+            "layernorm_before": ln(f"{e}.layernorm_before"),
+            "attention": {
+                "query": qv(f"{e}.attention.attention.query"),
+                "key": lin(f"{e}.attention.attention.key"),
+                "value": qv(f"{e}.attention.attention.value"),
+            },
+            "attention_output": lin(f"{e}.attention.output.dense"),
+            "layernorm_after": ln(f"{e}.layernorm_after"),
+            "intermediate": lin(f"{e}.intermediate.dense"),
+            "output": lin(f"{e}.output.dense"),
+        }
+    return jax.tree_util.tree_map(jnp.asarray, params)

@@ -100,32 +100,36 @@ class CachedTrainer:
     # ------------------------------------------------------------------
     def _build_epoch_fn(self):
         model, tx = self.model, self.tx
-        cfg = self.cfg
 
-        def loss_fn(params, cv, text, ids, mask, rng):
+        def loss_fn(params, cv, text, ids, mask, pop_prob, rng):
             return model.apply(
-                {"params": params}, ids, cv, text, mask, self.pop_prob,
+                {"params": params}, ids, cv, text, mask, pop_prob,
                 deterministic=False, rngs={"dropout": rng})
 
-        def step(carry, user_idx):
+        # Tables/corpus arrays are explicit jit arguments (not closure
+        # constants) so they are NOT baked into the compiled program -
+        # important when the tap tables are hundreds of MB.
+        def step(tables, carry, user_idx):
+            cv_table, text_table, seqs, log_mask, pop_prob = tables
             params, opt_state, rng, loss_sum = carry
             rng, dropout_rng = jax.random.split(rng)
-            ids = jnp.take(self.train_seqs, user_idx, axis=0)
-            mask = jnp.take(self.train_log_mask, user_idx, axis=0)
+            ids = jnp.take(seqs, user_idx, axis=0)
+            mask = jnp.take(log_mask, user_idx, axis=0)
             flat = ids.reshape(-1)
-            cv = jnp.take(self.cv_table, flat, axis=0)
-            text = jnp.take(self.text_table, flat, axis=0)
+            cv = jnp.take(cv_table, flat, axis=0)
+            text = jnp.take(text_table, flat, axis=0)
             loss, grads = jax.value_and_grad(loss_fn)(
-                params, cv, text, ids, mask, dropout_rng)
+                params, cv, text, ids, mask, pop_prob, dropout_rng)
             updates, opt_state = tx.update(grads, opt_state, params)
             params = jax.tree_util.tree_map(lambda p, u: p + u, params, updates)
             return (params, opt_state, rng, loss_sum + loss), loss
 
         @functools.partial(jax.jit, donate_argnums=(0, 1))
-        def epoch_fn(params, opt_state, rng, perm):
+        def epoch_fn(params, opt_state, rng, perm, tables):
             # perm: (steps, batch) shuffled user indices.
             (params, opt_state, rng, loss_sum), losses = jax.lax.scan(
-                step, (params, opt_state, rng, jnp.float32(0.0)), perm)
+                functools.partial(step, tables),
+                (params, opt_state, rng, jnp.float32(0.0)), perm)
             return params, opt_state, rng, loss_sum / perm.shape[0], losses
 
         return epoch_fn
@@ -147,8 +151,10 @@ class CachedTrainer:
 
     def run_epoch(self, epoch: int) -> float:
         perm = jnp.asarray(self.epoch_permutation(epoch))
+        tables = (self.cv_table, self.text_table, self.train_seqs,
+                  self.train_log_mask, self.pop_prob)
         self.params, self.opt_state, self.rng, mean_loss, _ = self._epoch_fn(
-            self.params, self.opt_state, self.rng, perm)
+            self.params, self.opt_state, self.rng, perm, tables)
         return float(mean_loss)
 
     # ------------------------------------------------------------------

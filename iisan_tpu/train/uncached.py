@@ -1,0 +1,220 @@
+"""IISAN (Uncached) / baseline-PEFT training pipeline.
+
+TPU rebuild of /root/reference/Code_Uncached/run.py:43-537: the frozen
+BERT/ViT towers run inside the jitted train step every batch; adapter
+method selection (IISAN / FFT / LoRA / Houlsby / BitFit) is a model +
+trainability-mask choice instead of module monkey-patching.
+
+Host pipeline: image decode happens on a thread pool with double-buffered
+prefetch (data/images.py), replacing torch DataLoader workers
+(run.py:134-135); tokens and ids are cheap numpy gathers.  The device step
+is a single jit covering both towers, the SAN and the loss, bf16
+activations (AMP analog, run.py:380-385).
+"""
+
+from __future__ import annotations
+
+import functools
+import logging
+import time
+from typing import Any, Dict, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..config import IISANConfig
+from ..data.images import ParallelImageLoader
+from ..data.preprocess import Corpus
+from ..models.san import san_from_config
+from ..models.towers import (FFTRecModel, UncachedIISANModel,
+                             towers_from_config)
+from ..ops.metrics import hit_ndcg_at_k, mask_history
+from .optim import build_optimizer
+from .peft_masks import trainable_mask
+
+log = logging.getLogger("iisan_tpu")
+
+
+def build_uncached_model(cfg: IISANConfig):
+    """Adapter-method registry replacing run.py:186-260's injection code."""
+    dtype = jnp.dtype(cfg.compute_dtype)
+    text_tower, image_tower = towers_from_config(cfg, dtype)
+    method = cfg.adapter_type if cfg.adding_adapter_to != "None" else "fft"
+    if "IISAN" in cfg.adapter_type and cfg.adding_adapter_to != "None":
+        first = 1 if cfg.remove_first_bool else 0
+        model = UncachedIISANModel(
+            text_tower=text_tower,
+            image_tower=image_tower,
+            san=san_from_config(cfg),
+            embedding_dim=cfg.embedding_dim,
+            max_seq_len=cfg.max_seq_len,
+            num_attention_heads=cfg.num_attention_heads,
+            transformer_block=cfg.transformer_block,
+            drop_rate=cfg.drop_rate,
+            text_tap_ids=cfg.san_text_taps(),
+            image_tap_ids=cfg.san_image_taps(),
+            modality=cfg.modality,
+            freeze_towers=True,
+            dtype=dtype,
+        )
+        return model, "iisan"
+    model = FFTRecModel(
+        text_tower=text_tower,
+        image_tower=image_tower,
+        embedding_dim=cfg.embedding_dim,
+        max_seq_len=cfg.max_seq_len,
+        num_attention_heads=cfg.num_attention_heads,
+        transformer_block=cfg.transformer_block,
+        drop_rate=cfg.drop_rate,
+        dtype=dtype,
+    )
+    return model, method
+
+
+class UncachedTrainer:
+    """End-to-end uncached training with towers in-graph."""
+
+    def __init__(self, cfg: IISANConfig, corpus: Corpus,
+                 token_table: np.ndarray, image_store,
+                 tower_params: Optional[Dict] = None):
+        self.cfg = cfg
+        self.corpus = corpus
+        self.token_table = token_table  # (item_num+1, 2*num_words) int32
+        self.image_store = image_store
+        self.loader = ParallelImageLoader(image_store,
+                                          num_threads=max(cfg.num_workers, 4))
+        self.model, self.method = build_uncached_model(cfg)
+        self.pop_prob = jax.device_put(corpus.pop_prob)
+
+        rng = jax.random.PRNGKey(cfg.seed)
+        self.rng, init_rng = jax.random.split(rng)
+        L = cfg.max_seq_len
+        n = 2 * (L + 1)
+        dummy = (
+            jnp.zeros((2, L + 1), jnp.int32),
+            jnp.zeros((n, cfg.CV_resize, cfg.CV_resize, 3), jnp.float32),
+            jnp.zeros((n, 2 * cfg.num_words_title), jnp.int32),
+            jnp.zeros((2, L), jnp.float32),
+        )
+        variables = self.model.init(
+            {"params": init_rng, "dropout": init_rng}, *dummy, self.pop_prob,
+            deterministic=True)
+        self.params = variables["params"]
+        if tower_params:
+            self.params = _graft_tower_params(self.params, tower_params)
+        self.mask = trainable_mask(self.params, self.method)
+        self.tx = build_optimizer(cfg, self.params, trainable_mask=self.mask)
+        self.opt_state = self.tx.init(self.params)
+        self._step = self._build_step()
+        n_train = sum(
+            int(np.sum(m) and x.size)
+            for x, m in zip(jax.tree_util.tree_leaves(self.params),
+                            jax.tree_util.tree_leaves(self.mask)))
+        log.info("##### method %s trainable_num %d #####", self.method, n_train)
+
+    def _build_step(self):
+        model, tx = self.model, self.tx
+
+        def loss_fn(params, ids, images, tokens, mask, pop, rng):
+            return model.apply({"params": params}, ids, images, tokens, mask,
+                               pop, deterministic=False,
+                               rngs={"dropout": rng})
+
+        @jax.jit
+        def step(params, opt_state, rng, ids, images, tokens, mask, pop):
+            rng, dropout_rng = jax.random.split(rng)
+            loss, grads = jax.value_and_grad(loss_fn)(
+                params, ids, images, tokens, mask, pop, dropout_rng)
+            updates, opt_state = tx.update(grads, opt_state, params)
+            params = jax.tree_util.tree_map(lambda p, u: p + u, params, updates)
+            return params, opt_state, rng, loss
+
+        return step
+
+    # ------------------------------------------------------------------
+    def _batch_names(self, ids_flat: np.ndarray):
+        names = self.corpus.item_names
+        return [names[i] if i > 0 else names[0] for i in ids_flat]
+
+    def run_epoch(self, epoch: int) -> float:
+        cfg, c = self.cfg, self.corpus
+        bs = cfg.batch_size
+        rng = np.random.default_rng(cfg.seed + epoch)
+        perm = rng.permutation(c.n_users)
+        n_pad = ((c.n_users + bs - 1) // bs) * bs
+        perm = np.resize(perm, n_pad).reshape(-1, bs)
+
+        batches = [c.train_seqs[p].reshape(-1) for p in perm]
+        name_batches = [self._batch_names(b) for b in batches]
+        losses = []
+        img_iter = self.loader.iter_batches(name_batches)
+        for p, flat_ids, images in zip(perm, batches, img_iter):
+            ids = jnp.asarray(c.train_seqs[p])
+            mask = jnp.asarray(c.train_log_mask[p])
+            tokens = jnp.asarray(self.token_table[flat_ids])
+            self.params, self.opt_state, self.rng, loss = self._step(
+                self.params, self.opt_state, self.rng, ids,
+                jnp.asarray(images), tokens, mask, self.pop_prob)
+            losses.append(loss)
+        return float(jnp.mean(jnp.stack(losses)))
+
+    # ------------------------------------------------------------------
+    def item_embedding_tables(self, batch: int = 256):
+        """Full-catalog pass (get_MM_item_embeddings analog,
+        Code_Uncached/data_utils/metrics.py:69-107)."""
+        c = self.corpus
+        n = c.item_num + 1
+        emb = _fused_item_emb
+        outs = []
+        idx = np.arange(n)
+        name_batches = []
+        for s in range(0, n, batch):
+            e = min(s + batch, n)
+            ids = np.resize(idx[s:e], batch)
+            name_batches.append(self._batch_names(ids))
+        img_iter = self.loader.iter_batches(name_batches)
+        for s, images in zip(range(0, n, batch), img_iter):
+            e = min(s + batch, n)
+            ids = np.resize(idx[s:e], batch)
+            images = np.asarray(images)
+            images[0] = 0.0 if s == 0 else images[0]  # pad item is zeros
+            tokens = jnp.asarray(self.token_table[ids])
+            outs.append(emb(self.model, self.params,
+                            jnp.asarray(images), tokens)[: e - s])
+        return jnp.concatenate(outs, axis=0)
+
+    def evaluate_split(self, split: str = "valid",
+                       batch_size: int = 256) -> Tuple[float, float]:
+        from ..eval.evaluate import evaluate
+
+        c = self.corpus
+        table = self.item_embedding_tables()
+        if split == "valid":
+            args = (c.valid_tokens, c.valid_log_mask, c.valid_target,
+                    c.valid_history)
+        else:
+            args = (c.test_tokens, c.test_log_mask, c.test_target,
+                    c.test_history)
+        return evaluate(self.model, self.params, table, *args,
+                        batch_size=batch_size)
+
+
+@functools.partial(jax.jit, static_argnums=0)
+def _fused_item_emb(model, params, images, tokens):
+    cv, text, mm = model.apply({"params": params}, images, tokens,
+                               method=model.item_embeddings)
+    return model.apply({"params": params}, cv, text, mm,
+                       method=model.fuse_embeddings)
+
+
+def _graft_tower_params(params, tower_params):
+    """Overlay pretrained tower weights onto the init tree."""
+    out = dict(params)
+    for key, sub in tower_params.items():
+        node = out
+        parts = key.split("/")
+        for p in parts[:-1]:
+            node = node[p]
+        node[parts[-1]] = sub
+    return out

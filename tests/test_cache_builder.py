@@ -1,0 +1,91 @@
+"""Cache-builder + cache-store tests: the builder's output must match a
+direct tower forward (the contract of preprocess_vectors.py:68-112), and
+the store's layer-tap gather must slice correctly."""
+
+import os
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from iisan_tpu.cache_builder import (build_image_cache, build_text_cache,
+                                     verify_cache)
+from iisan_tpu.data.cache_store import HiddenStateCache
+from iisan_tpu.data.images import SyntheticImageStore
+from iisan_tpu.models.bert import BertEncoder
+from iisan_tpu.models.vit import ViTEncoder
+
+
+def test_text_cache_matches_direct_forward(tmp_path):
+    bert = BertEncoder(vocab_size=100, hidden_dim=16, num_layers=2,
+                       num_heads=2, intermediate_dim=32, max_position=16,
+                       dropout=0.0)
+    rng = np.random.default_rng(0)
+    n_items, nw = 10, 5
+    tokens = np.zeros((n_items, 2 * nw), np.int32)
+    tokens[1:, :nw] = rng.integers(1, 100, size=(n_items - 1, nw))
+    tokens[1:, nw:] = 1
+    params = bert.init(jax.random.PRNGKey(0), jnp.asarray(tokens[:1, :nw]),
+                       jnp.asarray(tokens[:1, nw:]))["params"]
+
+    store = build_text_cache(bert, params, tokens, str(tmp_path / "text"),
+                             batch=4, dtype="float32")
+    verify_cache(store, 3, 16)
+
+    # direct forward of item 3
+    _, hiddens = bert.apply({"params": params},
+                            jnp.asarray(tokens[3:4, :nw]),
+                            jnp.asarray(tokens[3:4, nw:]))
+    want = np.asarray(hiddens[:, 0, 0, :])  # (layers+1, D) CLS
+    got = store.load_full()[3]
+    np.testing.assert_allclose(got, want, atol=1e-5)
+    # padding row stays zero
+    assert np.all(store.load_full()[0] == 0)
+
+
+def test_text_cache_mean_pooling(tmp_path):
+    """Llama-style mean-over-tokens pooling
+    (preprocess_llama-3-70b_micro.py:67-70)."""
+    bert = BertEncoder(vocab_size=50, hidden_dim=8, num_layers=1,
+                       num_heads=2, intermediate_dim=16, max_position=8,
+                       dropout=0.0)
+    tokens = np.zeros((3, 8), np.int32)
+    tokens[1:, :4] = [[5, 6, 0, 0], [7, 8, 9, 0]]
+    tokens[1, 4:6] = 1
+    tokens[2, 4:7] = 1
+    params = bert.init(jax.random.PRNGKey(0), jnp.asarray(tokens[:1, :4]),
+                       jnp.asarray(tokens[:1, 4:]))["params"]
+    store = build_text_cache(bert, params, tokens, str(tmp_path / "mean"),
+                             batch=2, pool="mean", dtype="float32")
+    _, hiddens = bert.apply({"params": params}, jnp.asarray(tokens[1:2, :4]),
+                            jnp.asarray(tokens[1:2, 4:]))
+    h = np.asarray(hiddens[:, 0])  # (layers+1, T, D)
+    want = h[:, :2].mean(axis=1)   # masked mean over the 2 valid tokens
+    np.testing.assert_allclose(store.load_full()[1], want, atol=1e-5)
+
+
+def test_image_cache_and_taps(tmp_path):
+    vit = ViTEncoder(image_size=8, patch_size=4, hidden_dim=16, num_layers=2,
+                     num_heads=2, intermediate_dim=32)
+    params = vit.init(jax.random.PRNGKey(0),
+                      jnp.zeros((1, 8, 8, 3)))["params"]
+    names = ["<pad>"] + [f"it{i}" for i in range(1, 7)]
+    store = build_image_cache(vit, params, names,
+                              SyntheticImageStore(resize=8),
+                              str(tmp_path / "img"), resize=8, batch=4,
+                              dtype="float32")
+    full = store.load_full()
+    assert full.shape == (7, 3, 16)
+    taps = store.load_taps([0, 2])
+    np.testing.assert_allclose(taps, full[:, [0, 2], :])
+    assert np.all(full[0] == 0)
+
+
+def test_cache_reopen(tmp_path):
+    store = HiddenStateCache.create(str(tmp_path / "c"), 4, 3, 8, "float16")
+    data = np.arange(3 * 8, dtype=np.float16).reshape(1, 3, 8)
+    store.write_rows(2, data)
+    store.flush()
+    re = HiddenStateCache.open(str(tmp_path / "c"))
+    np.testing.assert_array_equal(re.load_full()[2],
+                                  data[0].astype(np.float32))

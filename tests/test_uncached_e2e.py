@@ -1,0 +1,125 @@
+"""Uncached-pipeline integration tests: towers in-graph, adapter-method
+registry (IISAN / FFT / LoRA / Houlsby / BitFit), trainability masks."""
+
+import jax
+import numpy as np
+import pytest
+
+from iisan_tpu.config import IISANConfig
+from iisan_tpu.data.images import SyntheticImageStore
+from iisan_tpu.data.synthetic import synthetic_corpus
+from iisan_tpu.train.peft_masks import trainable_mask
+from iisan_tpu.train.uncached import UncachedTrainer, build_uncached_model
+
+
+def tiny_cfg(**kw):
+    base = dict(
+        batch_size=8, epoch=1, embedding_dim=16,
+        word_embedding_dim=32, image_embedding_dim=32,
+        text_layers=2, image_layers=2,
+        CV_resize=16, num_words_title=6,
+        side_adapter_vit_list="0,1", side_adapter_bert_list="0,1",
+        bert_adapter_down_size=8, cv_adapter_down_size=8,
+        adapter_type="IISAN", adding_adapter_to="all",
+        compute_dtype="float32", max_seq_len=4, min_seq_len=3)
+    base.update(kw)
+    return IISANConfig(**base)
+
+
+def make_trainer(cfg):
+    corpus = synthetic_corpus(n_users=12, item_num=20,
+                              max_seq_len=cfg.max_seq_len,
+                              min_seq_len=cfg.min_seq_len)
+    tokens = np.random.default_rng(0).integers(
+        1, 99, size=(21, 2 * cfg.num_words_title)).astype(np.int32)
+    tokens[:, cfg.num_words_title:] = 1
+    tokens[0] = 0
+    # shrink vocab for speed
+    return UncachedTrainer(cfg, corpus, tokens, SyntheticImageStore(cfg.CV_resize))
+
+
+def test_uncached_iisan_epoch_and_eval():
+    tr = make_trainer(tiny_cfg())
+    assert tr.method == "iisan"
+    loss = tr.run_epoch(1)
+    assert np.isfinite(loss)
+    hit, ndcg = tr.evaluate_split("valid", batch_size=8)
+    assert 0.0 <= hit <= 1.0
+
+
+def test_fft_baseline_epoch():
+    tr = make_trainer(tiny_cfg(adapter_type="fft", adding_adapter_to="None"))
+    assert tr.method == "fft"
+    loss = tr.run_epoch(1)
+    assert np.isfinite(loss)
+
+
+def test_frozen_towers_do_not_move_under_iisan():
+    tr = make_trainer(tiny_cfg())
+    before = np.asarray(
+        tr.params["image_tower"]["vit"]["layer_0"]["intermediate"]["kernel"])
+    head_before = np.asarray(tr.params["san"]["fc_bert"]["kernel"])
+    tr.run_epoch(1)
+    after = np.asarray(
+        tr.params["image_tower"]["vit"]["layer_0"]["intermediate"]["kernel"])
+    head_after = np.asarray(tr.params["san"]["fc_bert"]["kernel"])
+    np.testing.assert_array_equal(before, after)  # frozen
+    assert not np.allclose(head_before, head_after)  # trainable moved
+
+
+def test_lora_mask_trains_only_lora_and_heads():
+    cfg = tiny_cfg(adapter_type="lora")
+    model, method = build_uncached_model(cfg)
+    assert method == "fft" or True  # lora goes through FFTRecModel
+    tr = make_trainer(cfg)
+    flat = {}
+
+    def walk(m, p, prefix=""):
+        for k in p:
+            if isinstance(p[k], dict):
+                walk(m[k], p[k], prefix + k + "/")
+            else:
+                flat[prefix + k] = m[k]
+
+    walk(tr.mask, tr.params)
+    lora_paths = [k for k in flat if "lora_A" in k or "lora_B" in k]
+    assert lora_paths, "LoRA params missing from tower"
+    assert all(flat[k] for k in lora_paths)
+    base_qv = [k for k in flat if "/query/base/" in k]
+    assert base_qv and not any(flat[k] for k in base_qv)
+    # heads stay trainable
+    assert flat["user_encoder/transformer_encoder/position_embedding"]
+    base_before = np.asarray(
+        tr.params["text_tower"]["bert"]["layer_0"]["attention"]["query"]["base"]["kernel"])
+    tr.run_epoch(1)
+    base_after = np.asarray(
+        tr.params["text_tower"]["bert"]["layer_0"]["attention"]["query"]["base"]["kernel"])
+    np.testing.assert_array_equal(base_before, base_after)
+
+
+def test_houlsby_adapters_present_and_train():
+    cfg = tiny_cfg(adapter_type="houslby")
+    tr = make_trainer(cfg)
+    p = tr.params["text_tower"]["bert"]["layer_0"]
+    assert "attention_adapter" in p and "output_adapter" in p
+    before = np.asarray(p["attention_adapter"]["fc_down"]["kernel"])
+    tr.run_epoch(1)
+    after = np.asarray(
+        tr.params["text_tower"]["bert"]["layer_0"]["attention_adapter"]["fc_down"]["kernel"])
+    assert not np.allclose(before, after)
+
+
+def test_bitfit_mask():
+    cfg = tiny_cfg(adapter_type="bitfit")
+    tr = make_trainer(cfg)
+    w_before = np.asarray(
+        tr.params["text_tower"]["bert"]["layer_0"]["intermediate"]["kernel"])
+    b_before = np.asarray(
+        tr.params["text_tower"]["bert"]["layer_0"]["intermediate"]["bias"])
+    tr.run_epoch(1)
+    w_after = np.asarray(
+        tr.params["text_tower"]["bert"]["layer_0"]["intermediate"]["kernel"])
+    b_after = np.asarray(
+        tr.params["text_tower"]["bert"]["layer_0"]["intermediate"]["bias"])
+    np.testing.assert_array_equal(w_before, w_after)
+    assert not np.allclose(b_before, b_after)
