@@ -138,6 +138,9 @@ class IDRecModel(nn.Module):
     def item_table(self):
         return self.id_embedding.embedding
 
+    def user_scores(self, input_embs, log_mask, deterministic=True):
+        return self.user_encoder(input_embs, log_mask, deterministic)
+
     def __call__(self, item_ids, log_mask, pop_prob, deterministic=False):
         bs = log_mask.shape[0]
         score_embs = self.id_embedding(item_ids.reshape(-1))

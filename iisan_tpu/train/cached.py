@@ -34,24 +34,13 @@ from ..data.preprocess import Corpus
 from ..eval.evaluate import compute_item_tables, evaluate
 from ..models.model import IISANRecModel, rec_model_from_config
 from ..parallel.mesh import make_mesh, replicate
-from ..utils import checkpoint as ckpt_lib
+from .loop import TrainLoopMixin, TrainResult
 from .optim import build_optimizer
 
 log = logging.getLogger("iisan_tpu")
 
 
-@dataclass
-class TrainResult:
-    best_hit10: float
-    best_ndcg10: float
-    best_epoch: int
-    epochs_run: int
-    epoch_times: list = field(default_factory=list)
-    losses: list = field(default_factory=list)
-    test_metrics: Optional[Tuple[float, float]] = None
-
-
-class CachedTrainer:
+class CachedTrainer(TrainLoopMixin):
     """End-to-end cached-mode training (the reference's headline config)."""
 
     def __init__(
@@ -181,46 +170,3 @@ class CachedTrainer:
             if name in san:
                 out[name] = np.asarray(jax.nn.sigmoid(san[name] / 0.1))
         return out
-
-    # ------------------------------------------------------------------
-    def train(self, save_checkpoints: bool = False) -> TrainResult:
-        cfg = self.cfg
-        res = TrainResult(0.0, 0.0, 0, 0)
-        max_hit10, early_stop_count = 0.0, 0
-        start = time.time()
-        for ep in range(cfg.epoch):
-            now_epoch = ep + 1
-            t0 = time.time()
-            loss = self.run_epoch(now_epoch)
-            jax.block_until_ready(self.params)
-            epoch_time = time.time() - t0
-            res.epoch_times.append(epoch_time)
-            res.losses.append(loss)
-            hit, ndcg = self.evaluate_split("valid")
-            log.info(
-                "epoch %d loss %.5f valid Hit10 %.5f nDCG10 %.5f (%.2fs)",
-                now_epoch, loss, hit * 100, ndcg * 100, epoch_time)
-            res.epochs_run = now_epoch
-            if hit > res.best_hit10:
-                res.best_hit10, res.best_ndcg10 = hit, ndcg
-                res.best_epoch = now_epoch
-                early_stop_count = 0
-            else:
-                early_stop_count += 1
-                if early_stop_count > cfg.early_stop_patience:
-                    log.info("early stop at epoch %d", now_epoch)
-                    break
-            # Test on new best / every 10th epoch (run.py:402-405).
-            if hit > max_hit10 or max_hit10 == 0 or ep % 10 == 0:
-                max_hit10 = max(max_hit10, hit)
-                res.test_metrics = self.evaluate_split("test")
-                log.info("test Hit10 %.5f nDCG10 %.5f",
-                         res.test_metrics[0] * 100, res.test_metrics[1] * 100)
-                if save_checkpoints and jax.process_index() == 0:
-                    ckpt_lib.save_checkpoint(
-                        cfg.ckpt_dir, now_epoch,
-                        {"params": self.params, "opt_state": self.opt_state,
-                         "rng": self.rng, "epoch": now_epoch})
-        log.info("max eval Hit10 %.5f in epoch %d (total %.1fs)",
-                 res.best_hit10 * 100, res.best_epoch, time.time() - start)
-        return res

@@ -1,0 +1,96 @@
+"""Shared training loop: epochs, validation, early stop, test-on-best.
+
+One implementation of the reference's epoch orchestration
+(/root/reference/Code_Cached/run.py:360-421 + run_eval:437-462) reused by
+every trainer (cached / uncached / id): per-epoch validation with
+early-stop patience (``early_stop_count > 10``, run.py:458), test-set eval
+on a new best or every 10th epoch (run.py:402-405), checkpoint on rank 0.
+"""
+
+from __future__ import annotations
+
+import logging
+import time
+from dataclasses import dataclass, field
+from typing import Optional, Tuple
+
+import jax
+
+from ..utils import checkpoint as ckpt_lib
+
+log = logging.getLogger("iisan_tpu")
+
+
+@dataclass
+class TrainResult:
+    best_hit10: float
+    best_ndcg10: float
+    best_epoch: int
+    epochs_run: int
+    epoch_times: list = field(default_factory=list)
+    losses: list = field(default_factory=list)
+    test_metrics: Optional[Tuple[float, float]] = None
+
+
+class TrainLoopMixin:
+    """Requires: self.cfg, self.run_epoch(epoch)->loss,
+    self.evaluate_split(split)->(hit,ndcg), self.params/opt_state/rng."""
+
+    def train(self, save_checkpoints: bool = False,
+              start_epoch: int = 0) -> TrainResult:
+        cfg = self.cfg
+        res = TrainResult(0.0, 0.0, 0, 0)
+        max_hit10, early_stop_count = 0.0, 0
+        start = time.time()
+        for ep in range(cfg.epoch):
+            now_epoch = start_epoch + ep + 1
+            t0 = time.time()
+            loss = self.run_epoch(now_epoch)
+            jax.block_until_ready(self.params)
+            epoch_time = time.time() - t0
+            res.epoch_times.append(epoch_time)
+            res.losses.append(loss)
+            import math
+            if math.isnan(loss):  # NaN-loss abort (run.py:387-389)
+                log.warning("NaN loss at epoch %d - stopping", now_epoch)
+                break
+            hit, ndcg = self.evaluate_split("valid")
+            log.info(
+                "epoch %d loss %.5f valid Hit10 %.5f nDCG10 %.5f (%.2fs)",
+                now_epoch, loss, hit * 100, ndcg * 100, epoch_time)
+            res.epochs_run = now_epoch
+            if hit > res.best_hit10:
+                res.best_hit10, res.best_ndcg10 = hit, ndcg
+                res.best_epoch = now_epoch
+                early_stop_count = 0
+            else:
+                early_stop_count += 1
+                if early_stop_count > cfg.early_stop_patience:
+                    log.info("early stop at epoch %d", now_epoch)
+                    break
+            # Test on new best / every 10th epoch (run.py:402-405).
+            if hit > max_hit10 or max_hit10 == 0 or ep % 10 == 0:
+                max_hit10 = max(max_hit10, hit)
+                res.test_metrics = self.evaluate_split("test")
+                log.info("test Hit10 %.5f nDCG10 %.5f",
+                         res.test_metrics[0] * 100, res.test_metrics[1] * 100)
+                if save_checkpoints and jax.process_index() == 0:
+                    ckpt_lib.save_checkpoint(
+                        cfg.ckpt_dir, now_epoch,
+                        {"params": self.params, "opt_state": self.opt_state,
+                         "rng": self.rng, "epoch": now_epoch})
+        log.info("max eval Hit10 %.5f in epoch %d (total %.1fs)",
+                 res.best_hit10 * 100, res.best_epoch, time.time() - start)
+        return res
+
+    def resume(self, ckpt_name: str) -> int:
+        """Restore params/opt_state/rng from a checkpoint; returns the epoch
+        to continue from (run.py:234-244 analog)."""
+        state, epoch = ckpt_lib.restore_checkpoint(
+            self.cfg.ckpt_dir, ckpt_name,
+            {"params": self.params, "opt_state": self.opt_state,
+             "rng": self.rng, "epoch": 0})
+        self.params = state["params"]
+        self.opt_state = state["opt_state"]
+        self.rng = state["rng"]
+        return epoch

@@ -1,0 +1,125 @@
+"""Pipeline orchestration: data loading + trainer dispatch.
+
+The ``train(args, use_modal, local_rank)`` analog
+(/root/reference/Code_Cached/run.py:38-240): reads the item/behavior TSVs,
+tokenizes titles, opens or imports hidden-state caches, builds the right
+trainer for ``cfg.pipeline`` and runs the training loop.
+"""
+
+from __future__ import annotations
+
+import logging
+import os
+import time
+from typing import Optional, Tuple
+
+import numpy as np
+
+from ..config import IISANConfig
+from ..data import preprocess as prep
+from ..data.cache_store import HiddenStateCache, import_reference_pt_dir
+from ..utils.logging import setup_logger
+from ..utils.tpme import TPMETracker
+
+log = logging.getLogger("iisan_tpu")
+
+
+def load_tokenizer(cfg: IISANConfig):
+    """BERT tokenizer from the shipped pretrained_models assets
+    (run.py:58-60) with HF-hub fallback."""
+    from transformers import BertTokenizerFast
+
+    candidates = [
+        os.path.join(cfg.root_data_dir, "pretrained_models/bert",
+                     cfg.bert_model_load),
+        "/root/reference/pretrained_models/bert/bert_base_uncased",
+    ]
+    for c in candidates:
+        if os.path.isdir(c):
+            return BertTokenizerFast.from_pretrained(c)
+    return BertTokenizerFast.from_pretrained("bert-base-uncased")
+
+
+def load_corpus(cfg: IISANConfig) -> Tuple[prep.Corpus, Optional[np.ndarray]]:
+    """ETL: items + behaviors (+ tokenized titles when needed)."""
+    items_path = os.path.join(cfg.root_data_dir, cfg.dataset, cfg.news)
+    behaviors_path = os.path.join(cfg.root_data_dir, cfg.dataset, cfg.behaviors)
+    titles, name_to_id, id_to_name = prep.read_items(items_path)
+    corpus = prep.read_behaviors(behaviors_path, name_to_id, id_to_name,
+                                 cfg.max_seq_len, cfg.min_seq_len)
+    token_table = None
+    if cfg.pipeline in ("uncached", "fft"):
+        tok = load_tokenizer(cfg)
+        full = prep.tokenize_titles(titles, tok, cfg.num_words_title)
+        token_table = prep.remap_token_table(full, corpus.item_names, name_to_id)
+    return corpus, token_table
+
+
+def open_cache(cfg: IISANConfig, which: str, corpus) -> HiddenStateCache:
+    """Open a memmap cache; transparently import a reference-layout
+    ``{prefix}_{item}.pt`` directory (dataset.py:29-34 format) on first use."""
+    base = cfg.stored_vector_path
+    if which == "text":
+        sub, prefix = cfg.cached_text_model, cfg.cached_text_prefix
+    else:
+        sub, prefix = cfg.cached_image_model, cfg.cached_image_prefix
+    memmap_dir = os.path.join(base, sub + ".memmap")
+    if os.path.isdir(memmap_dir):
+        return HiddenStateCache.open(memmap_dir)
+    pt_dir = os.path.join(base, sub)
+    if os.path.isdir(pt_dir):
+        log.info("importing reference .pt cache %s -> %s", pt_dir, memmap_dir)
+        return import_reference_pt_dir(pt_dir, prefix, corpus.item_names,
+                                       memmap_dir)
+    raise FileNotFoundError(
+        f"no cache at {memmap_dir} or {pt_dir}; run the cache builder "
+        f"(iisan_tpu.cache_builder) first")
+
+
+def run_from_config(cfg: IISANConfig, eval_only: bool = False):
+    setup_logger(cfg.log_dir, cfg.label_screen if cfg.label_screen != "None"
+                 else cfg.pipeline, cfg.mode)
+    log.info("config: %s", cfg)
+    t0 = time.time()
+    corpus, token_table = load_corpus(cfg)
+    log.info("items %d users %d", corpus.item_num, corpus.n_users)
+    tpme = TPMETracker()
+
+    if cfg.pipeline in ("cached", "cached_asym"):
+        from .cached import CachedTrainer
+
+        text_store = open_cache(cfg, "text", corpus)
+        image_store = open_cache(cfg, "image", corpus)
+        text_taps = text_store.load_taps(cfg.san_text_taps())
+        cv_taps = image_store.load_taps(cfg.san_image_taps())
+        trainer = CachedTrainer(cfg, corpus, cv_taps, text_taps)
+    elif cfg.pipeline == "uncached":
+        from ..data.images import (DirImageStore, HAS_LMDB, LmdbImageStore,
+                                   SyntheticImageStore)
+        from .uncached import UncachedTrainer
+
+        lmdb_path = os.path.join(cfg.root_data_dir, cfg.dataset, cfg.lmdb_data)
+        if HAS_LMDB and os.path.exists(lmdb_path):
+            store = LmdbImageStore(lmdb_path, cfg.CV_resize)
+        elif os.path.isdir(lmdb_path):
+            store = DirImageStore(lmdb_path, cfg.CV_resize)
+        else:
+            log.warning("no image source at %s - synthetic images", lmdb_path)
+            store = SyntheticImageStore(cfg.CV_resize)
+        trainer = UncachedTrainer(cfg, corpus, token_table, store)
+    elif cfg.pipeline == "id":
+        from .id_pipeline import IDTrainer
+
+        trainer = IDTrainer(cfg, corpus)
+    else:
+        raise ValueError(f"unknown pipeline {cfg.pipeline}")
+
+    if eval_only:
+        hit, ndcg = trainer.evaluate_split("test")
+        log.info("test Hit10 %.5f nDCG10 %.5f", hit * 100, ndcg * 100)
+        return trainer, None
+
+    result = trainer.train() if hasattr(trainer, "train") else None
+    tpme.record_run(time.time() - t0, trainer)
+    log.info("TPME inputs: %s", tpme.summary())
+    return trainer, result

@@ -30,6 +30,7 @@ from ..models.san import san_from_config
 from ..models.towers import (FFTRecModel, UncachedIISANModel,
                              towers_from_config)
 from ..ops.metrics import hit_ndcg_at_k, mask_history
+from .loop import TrainLoopMixin
 from .optim import build_optimizer
 from .peft_masks import trainable_mask
 
@@ -72,7 +73,7 @@ def build_uncached_model(cfg: IISANConfig):
     return model, method
 
 
-class UncachedTrainer:
+class UncachedTrainer(TrainLoopMixin):
     """End-to-end uncached training with towers in-graph."""
 
     def __init__(self, cfg: IISANConfig, corpus: Corpus,

@@ -1,0 +1,106 @@
+"""TPME - the paper's composite Training-efficiency metric, in-framework.
+
+The reference computes TPME offline from wall-clock timings, parameter
+counts and GPU memory (README.md:91-96 / figs/efficiency-metric.png):
+
+    TPME_i = a1 * t_hat_i + a2 * p_hat_i + a3 * m_hat_i
+
+with min-max-normalized per-method (t)ime/epoch, trainable (p)arameters and
+peak (m)emory, and paper weights a = (0.45, 0.10, 0.45).  Here the three
+raw measurements are captured live (device memory from
+``jax.local_devices()[0].memory_stats()``) and ``tpme_scores`` normalizes
+across any set of recorded runs.
+"""
+
+from __future__ import annotations
+
+import logging
+from dataclasses import dataclass, field
+from typing import Dict, List, Optional
+
+import jax
+import numpy as np
+
+log = logging.getLogger("iisan_tpu")
+
+ALPHA = (0.45, 0.10, 0.45)  # README.md:96 paper weights
+
+
+def device_peak_memory_bytes() -> Optional[int]:
+    try:
+        stats = jax.local_devices()[0].memory_stats()
+        if stats is None:
+            return None
+        return int(stats.get("peak_bytes_in_use",
+                             stats.get("bytes_in_use", 0)))
+    except Exception:  # pragma: no cover - backend without memory_stats
+        return None
+
+
+def trainable_param_count(trainer) -> int:
+    params = getattr(trainer, "params", None)
+    if params is None:
+        return 0
+    mask = getattr(trainer, "mask", None)
+    leaves = jax.tree_util.tree_leaves(params)
+    if mask is None:
+        return int(sum(x.size for x in leaves))
+    mleaves = jax.tree_util.tree_leaves(mask)
+    return int(sum(x.size for x, m in zip(leaves, mleaves) if m))
+
+
+@dataclass
+class RunRecord:
+    label: str
+    epoch_seconds: float
+    trainable_params: int
+    peak_memory_bytes: Optional[int]
+
+
+@dataclass
+class TPMETracker:
+    runs: List[RunRecord] = field(default_factory=list)
+
+    def record_run(self, total_seconds: float, trainer, label: str = "run"):
+        times = []
+        res = getattr(trainer, "_last_result", None)
+        epoch_s = total_seconds
+        if hasattr(trainer, "cfg") and getattr(trainer.cfg, "epoch", 0):
+            epoch_s = total_seconds / max(trainer.cfg.epoch, 1)
+        self.runs.append(RunRecord(
+            label=label,
+            epoch_seconds=epoch_s,
+            trainable_params=trainable_param_count(trainer),
+            peak_memory_bytes=device_peak_memory_bytes(),
+        ))
+
+    def summary(self) -> Dict:
+        return {r.label: {
+            "epoch_s": round(r.epoch_seconds, 4),
+            "trainable_params": r.trainable_params,
+            "peak_mem_mb": round(r.peak_memory_bytes / 2**20, 1)
+            if r.peak_memory_bytes else None,
+        } for r in self.runs}
+
+
+def tpme_scores(records: List[RunRecord],
+                alpha=ALPHA) -> Dict[str, float]:
+    """Min-max-normalize t/p/m across methods and combine (README.md:91-96).
+
+    With a single record (no comparison set) every normalized term is 0.
+    """
+
+    def norm(vals):
+        vals = np.asarray(vals, dtype=np.float64)
+        lo, hi = vals.min(), vals.max()
+        if hi == lo:
+            return np.zeros_like(vals)
+        return (vals - lo) / (hi - lo)
+
+    t = norm([r.epoch_seconds for r in records])
+    p = norm([r.trainable_params for r in records])
+    m = norm([r.peak_memory_bytes or 0 for r in records])
+    out = {}
+    for i, r in enumerate(records):
+        out[r.label] = float(alpha[0] * t[i] + alpha[1] * p[i] + alpha[2] * m[i])
+    return out
