@@ -56,13 +56,21 @@ class CachedTrainer(TrainLoopMixin):
         self.mesh = mesh or make_mesh(cfg.mesh_shape)
         self.model = rec_model_from_config(cfg)
 
+        # Data-parallel layout over the mesh (DDP analog, run.py:258):
+        # tables/params replicated, per-step batch sharded on its batch dim
+        # via the permutation's second axis; XLA inserts the grad psum.
+        from jax.sharding import NamedSharding, PartitionSpec as P
+
+        self._repl = NamedSharding(self.mesh, P())
+        self._perm_sh = NamedSharding(self.mesh, P(None, "data"))
+
         # Device residency: tap tables + the full (tiny) index arrays.
         store_dt = jnp.dtype(cfg.compute_dtype)
-        self.cv_table = jax.device_put(cv_taps.astype(store_dt))
-        self.text_table = jax.device_put(text_taps.astype(store_dt))
-        self.pop_prob = jax.device_put(corpus.pop_prob)
-        self.train_seqs = jax.device_put(corpus.train_seqs)
-        self.train_log_mask = jax.device_put(corpus.train_log_mask)
+        self.cv_table = jax.device_put(cv_taps.astype(store_dt), self._repl)
+        self.text_table = jax.device_put(text_taps.astype(store_dt), self._repl)
+        self.pop_prob = jax.device_put(corpus.pop_prob, self._repl)
+        self.train_seqs = jax.device_put(corpus.train_seqs, self._repl)
+        self.train_log_mask = jax.device_put(corpus.train_log_mask, self._repl)
 
         rng = jax.random.PRNGKey(cfg.seed)
         self.rng, init_rng = jax.random.split(rng)
@@ -78,9 +86,9 @@ class CachedTrainer(TrainLoopMixin):
             self.pop_prob,
             deterministic=True,
         )
-        self.params = variables["params"]
+        self.params = jax.device_put(variables["params"], self._repl)
         self.tx = build_optimizer(cfg, self.params)
-        self.opt_state = self.tx.init(self.params)
+        self.opt_state = jax.device_put(self.tx.init(self.params), self._repl)
         self._epoch_fn = self._build_epoch_fn()
 
         n_params = sum(x.size for x in jax.tree_util.tree_leaves(self.params))
@@ -139,7 +147,8 @@ class CachedTrainer(TrainLoopMixin):
         return perm.reshape(-1, bs).astype(np.int32)
 
     def run_epoch(self, epoch: int) -> float:
-        perm = jnp.asarray(self.epoch_permutation(epoch))
+        perm = jax.device_put(jnp.asarray(self.epoch_permutation(epoch)),
+                              self._perm_sh)
         tables = (self.cv_table, self.text_table, self.train_seqs,
                   self.train_log_mask, self.pop_prob)
         self.params, self.opt_state, self.rng, mean_loss, _ = self._epoch_fn(

@@ -1,0 +1,60 @@
+"""Multi-device data parallelism tests on the 8-CPU virtual mesh.
+
+Stands in for the reference's (untested) DDP path (SURVEY.md section 4):
+an 8-way data-parallel cached training run must produce the same loss
+trajectory as single-device (modulo fp reassociation) because the batch
+math is identical - DDP-grad-allreduce == XLA's psum under batch sharding.
+"""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from iisan_tpu.config import IISANConfig
+from iisan_tpu.data.synthetic import synthetic_corpus, synthetic_taps
+from iisan_tpu.parallel.mesh import make_mesh
+from iisan_tpu.train.cached import CachedTrainer
+
+
+def build(mesh):
+    cfg = IISANConfig(
+        batch_size=16, epoch=1, embedding_dim=16,
+        side_adapter_vit_list="1,3", side_adapter_bert_list="1,3",
+        word_embedding_dim=24, image_embedding_dim=24,
+        compute_dtype="float32", eval_batch_size=16)
+    corpus = synthetic_corpus(n_users=64, item_num=50)
+    k = len(cfg.san_image_taps())
+    return CachedTrainer(cfg, corpus, synthetic_taps(50, k, 24, 1),
+                         synthetic_taps(50, k, 24, 2), mesh=mesh)
+
+
+@pytest.mark.skipif(len(jax.devices()) < 8, reason="needs 8 devices")
+def test_dp_matches_single_device():
+    tr1 = build(make_mesh(devices=jax.devices()[:1]))
+    tr8 = build(make_mesh(devices=jax.devices()[:8]))
+    l1 = [tr1.run_epoch(e) for e in (1, 2, 3)]
+    l8 = [tr8.run_epoch(e) for e in (1, 2, 3)]
+    np.testing.assert_allclose(l1, l8, rtol=1e-4)
+    # params end up numerically equal too
+    p1 = np.asarray(tr1.params["san"]["fc_bert"]["kernel"])
+    p8 = np.asarray(tr8.params["san"]["fc_bert"]["kernel"])
+    np.testing.assert_allclose(p1, p8, rtol=1e-4, atol=1e-6)
+
+
+@pytest.mark.skipif(len(jax.devices()) < 8, reason="needs 8 devices")
+def test_dp_eval_matches():
+    tr1 = build(make_mesh(devices=jax.devices()[:1]))
+    tr8 = build(make_mesh(devices=jax.devices()[:8]))
+    tr8.params = jax.device_put(
+        jax.tree_util.tree_map(np.asarray, tr1.params), tr8._repl)
+    m1 = tr1.evaluate_split("valid")
+    m8 = tr8.evaluate_split("valid")
+    np.testing.assert_allclose(m1, m8, rtol=1e-5)
+
+
+@pytest.mark.skipif(len(jax.devices()) < 8, reason="needs 8 devices")
+def test_graft_dryrun_multichip():
+    import __graft_entry__ as g
+
+    g.dryrun_multichip(8)
