@@ -131,7 +131,12 @@ class IISANConfig:
     eval_batch_size: int = 256
     mesh_shape: str = ""  # e.g. "data:8"; empty = all local devices on 1 axis
     cache_format: str = "memmap"  # sharded array cache vs reference .pt files
-    use_pallas: bool = True  # enable fused Pallas kernels where profitable
+    # Fused Pallas SAN-cascade kernel (ops/fused_san.py).  Off by default:
+    # measured on v5e at BERT/ViT-base geometry the XLA-fused scan is
+    # faster (0.126 s vs 0.176 s Scientific epoch) because XLA pipelines
+    # the tiny cascade matmuls across scan steps better than the
+    # single-kernel grid; kept as an option and for future D-tiled work.
+    use_pallas: bool = False
     log_dir: str = "./logs"
     ckpt_dir: str = "./checkpoints"
     early_stop_patience: int = 10  # hard-coded `> 10` at Code_Cached/run.py:458

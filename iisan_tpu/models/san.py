@@ -41,10 +41,12 @@ from __future__ import annotations
 
 from typing import Any, Optional, Tuple
 
+import jax
 import jax.numpy as jnp
 from flax import linen as nn
 
-from .modules import AdapterBlock, TorchLinear, XavierLinear
+from .modules import (AdapterBlock, TorchLinear, XavierLinear,
+                      adapter_kernel_init)
 
 GATE_TEMPERATURE = 0.1  # hard-coded in every reference variant (model.py:321)
 
@@ -73,6 +75,7 @@ class SideAdapterNetwork(nn.Module):
     gated: bool = True
     modality: str = "intra_inter"
     head_mode: str = "cached"  # "cached": fc(D->D)+pre_fc(D->emb); "asym": fc(D->emb)+pre_fc(emb->emb)
+    use_pallas: bool = False  # fused TPU cascade kernel for intra branches
     dtype: Optional[Any] = None
 
     def _gate(self, theta):
@@ -104,25 +107,32 @@ class SideAdapterNetwork(nn.Module):
             cv_taps = cv_states
         carry_mm = jnp.zeros((n, mm_dim), dtype)
 
-        # Adapter stacks (model.py:271-274) and gates (model.py:302-322);
-        # intra adapters/gates exist only when "intra" in modality
-        # (model.py:270-272,283-291).
+        # Intra adapter stacks (model.py:271-274) as stacked (K, ...) weight
+        # tensors - one parameter group per branch instead of K modules, so
+        # the whole cascade is a single (optionally Pallas-fused) op.  Gates
+        # (model.py:302-322); intra adapters/gates exist only when "intra"
+        # in modality (model.py:270-272,283-291).
+        def adapter_stack(name, k, d, r):
+            return {
+                "wd": self.param(f"{name}_wd", adapter_kernel_init, (k, d, r)),
+                "bd": self.param(f"{name}_bd", nn.initializers.zeros, (k, r)),
+                "wu": self.param(f"{name}_wu", adapter_kernel_init, (k, r, d)),
+                "bu": self.param(f"{name}_bu", nn.initializers.zeros, (k, d)),
+            }
+
         if intra:
-            text_adapters = [
-                AdapterBlock(self.bert_down_size, self.activation, dtype=dtype,
-                             name=f"bert_adapter_list_{i}")
-                for i in range(kt)
-            ]
-            cv_adapters = [
-                AdapterBlock(self.cv_down_size, self.activation, dtype=dtype,
-                             name=f"cv_adapter_list_{i}")
-                for i in range(kc)
-            ]
+            text_stack = adapter_stack("bert_adapter_list", kt,
+                                       self.text_dim, self.bert_down_size)
+            cv_stack = adapter_stack("cv_adapter_list", kc,
+                                     self.image_dim, self.cv_down_size)
         if self.gated and intra:
             gates_text = self.param(
                 "side_gate_params_text", nn.initializers.zeros, (kt,))
             gates_cv = self.param(
                 "side_gate_params_cv", nn.initializers.zeros, (kc,))
+        elif intra:
+            gates_text = jnp.zeros((kt,), jnp.float32)
+            gates_cv = jnp.zeros((kc,), jnp.float32)
         if inter:
             # The inter branch is gated regardless of fusion_method in every
             # reachable reference path (model.py:335-338 reads the gates
@@ -142,42 +152,40 @@ class SideAdapterNetwork(nn.Module):
                     for i in range(k_mm)
                 ]
 
-        def intra_step(branch, i, carry, tap):
-            if self.gated:
-                g = self._gate(gates_text[i] if branch == "text" else gates_cv[i])
-                fused = g * tap + (1.0 - g) * carry
-            else:
-                fused = tap + carry
-            adapters = text_adapters if branch == "text" else cv_adapters
-            return adapters[i](fused)
+        # Intra branches: each modality's full K-step cascade is ONE op -
+        # the group-layer-drop "prefix" (asym model.py:361-378) and the
+        # joint loop (model.py:318-332) are the same recurrence for intra,
+        # so they fuse into a single kernel invocation per branch.
+        if intra:
+            from ..ops.fused_san import (fits_vmem, fused_cascade,
+                                         reference_cascade)
 
-        # Group layer-dropping prefix: longer tower runs alone first
-        # (asym model.py:361-378).
-        if intra or inter:
-            if intra:
-                for i in range(diff_text):
-                    carry_text = intra_step("text", i, carry_text, text_taps[:, i, :])
-                for i in range(diff_cv):
-                    carry_cv = intra_step("cv", i, carry_cv, cv_taps[:, i, :])
+            use_fused = (self.use_pallas and jax.default_backend() == "tpu"
+                         and fits_vmem(kt, self.text_dim, self.bert_down_size)
+                         and fits_vmem(kc, self.image_dim, self.cv_down_size))
+            run = fused_cascade if use_fused else reference_cascade
 
-            # Joint cascade over the common suffix (model.py:318-338 /
-            # asym model.py:381-417).
+            def cascade(gates, stack, taps, c0):
+                return run(gates, taps,
+                           stack["wd"].astype(dtype), stack["bd"].astype(dtype),
+                           stack["wu"].astype(dtype), stack["bu"].astype(dtype),
+                           c0, activation=self.activation, gated=self.gated)
+
+            carry_text = cascade(gates_text, text_stack, text_taps, carry_text)
+            carry_cv = cascade(gates_cv, cv_stack, cv_taps, carry_cv)
+
+        if inter:
+            # Inter branch (model.py:334-338 / asym model.py:398-417).
             for i in range(k_mm):
-                ti, ci = diff_text + i, diff_cv + i
-                text_tap = text_taps[:, ti, :]
-                cv_tap = cv_taps[:, ci, :]
-                if intra:
-                    carry_text = intra_step("text", ti, carry_text, text_tap)
-                    carry_cv = intra_step("cv", ci, carry_cv, cv_tap)
-                if inter:
-                    mm_text, mm_cv = text_tap, cv_tap
-                    if self.text_dim > self.image_dim:
-                        mm_text = down_projects[i](mm_text)
-                    elif self.image_dim > self.text_dim:
-                        mm_cv = down_projects[i](mm_cv)
-                    g = self._gate(gates_mm[i])
-                    carry_mm = carry_mm + g * mm_cv + (1.0 - g) * mm_text
-                    carry_mm = mm_adapters[i](carry_mm)
+                mm_text = text_taps[:, diff_text + i, :]
+                mm_cv = cv_taps[:, diff_cv + i, :]
+                if self.text_dim > self.image_dim:
+                    mm_text = down_projects[i](mm_text)
+                elif self.image_dim > self.text_dim:
+                    mm_cv = down_projects[i](mm_cv)
+                g = self._gate(gates_mm[i])
+                carry_mm = carry_mm + g * mm_cv + (1.0 - g) * mm_text
+                carry_mm = mm_adapters[i](carry_mm)
 
         # Output heads.  cached: fc(D->D) then pre_fc(D->emb) where pre_fc is
         # the frozen tower's (trainable) classifier / title.fc
@@ -223,5 +231,6 @@ def san_from_config(cfg, head_mode: Optional[str] = None) -> SideAdapterNetwork:
         gated=cfg.gated,
         modality=cfg.modality,
         head_mode=head_mode or ("asym" if cfg.pipeline == "cached_asym" else "cached"),
+        use_pallas=cfg.use_pallas,
         dtype=jnp.dtype(cfg.compute_dtype),
     )

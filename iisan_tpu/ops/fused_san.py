@@ -1,0 +1,245 @@
+"""Pallas TPU kernel: fused gated side-adapter cascade.
+
+The SAN's intra-modal branch is a K-step sequential cascade of tiny
+bottleneck adapters (/root/reference/Code_Cached/model/model.py:318-332):
+
+    c_0   = carry-init
+    f_i   = sigmoid(theta_i/0.1) * tap_i + (1 - sigmoid(theta_i/0.1)) * c_i
+    c_i+1 = W_up_i @ act(W_dn_i @ f_i + b_dn_i) + b_up_i + f_i
+
+As ~4K separate XLA ops these (N x D) x (D x R) matmuls are dispatch- and
+HBM-bound: every step round-trips N*D activations.  This kernel runs the
+whole cascade in one ``pallas_call``: the row-tile of taps and the carry
+stay resident in VMEM across all K steps, all 2K weight matrices are loaded
+into VMEM once, and only the final carry (plus the per-step carries needed
+for backward) leave the chip.
+
+Backward is a hand-derived VJP over the saved carries (recomputing the
+cheap bottleneck activations), vectorized in jnp - the heavy lifting
+(weight-gradient matmuls) is MXU-shaped already.
+
+VMEM budget at ViT/BERT-base geometry (K=7, D=768, R=64, tile 256 rows,
+bf16): taps 2.6 MB + carries 3 MB + weights 1.4 MB - comfortably under the
+16 MB/core budget (pallas_guide.md "Memory Hierarchy").
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+GATE_TEMPERATURE = 0.1
+
+
+def _act(z, activation: str):
+    if activation == "GELU":
+        return jax.nn.gelu(z, approximate=False)
+    return jnp.maximum(z, 0.0)
+
+
+def _act_grad(z, activation: str):
+    if activation == "GELU":
+        return jax.vjp(lambda t: jax.nn.gelu(t, approximate=False), z)[1]
+    return lambda g: (jnp.where(z > 0, g, 0.0),)
+
+
+def _cascade_kernel(gates_ref, taps_ref, wd_ref, bd_ref, wu_ref, bu_ref,
+                    c0_ref, out_ref, *, k: int, activation: str,
+                    gated: bool):
+    """One row-tile, all K steps.  Refs:
+    gates (K,) SMEM scalar-prefetch; taps (T, K, D); wd (K, D, R);
+    bd (K, R); wu (K, R, D); bu (K, D); c0 (T, D);
+    out (T, D); carries (T, K+1, D)."""
+    c = c0_ref[:]
+    dtype = c.dtype
+    for i in range(k):  # K is static and small: unrolled in-kernel
+        if gated:
+            g = jax.nn.sigmoid(
+                gates_ref[i] / GATE_TEMPERATURE).astype(jnp.float32)
+            f = (g * taps_ref[:, i, :].astype(jnp.float32)
+                 + (1.0 - g) * c.astype(jnp.float32)).astype(dtype)
+        else:
+            # fusion_method != "gated": plain additive fusion
+            # (model.py:328-330)
+            f = taps_ref[:, i, :] + c
+        z = jnp.dot(f, wd_ref[i], preferred_element_type=jnp.float32) \
+            + bd_ref[i].astype(jnp.float32)
+        a = _act(z, activation).astype(dtype)
+        up = jnp.dot(a, wu_ref[i], preferred_element_type=jnp.float32) \
+            + bu_ref[i].astype(jnp.float32)
+        c = (up + f.astype(jnp.float32)).astype(dtype)
+    out_ref[:] = c
+
+
+def _round_up(x, m):
+    return ((x + m - 1) // m) * m
+
+
+def fits_vmem(k: int, d: int, r: int, tile: int = 128,
+              budget_bytes: int = 12 * 2**20) -> bool:
+    """Conservative VMEM estimate for the cascade kernel: stacked weights +
+    double-buffered row tiles must fit the ~16 MB/core budget.  Large-D
+    (Versa 8192) geometries need a D-tiled kernel - not yet implemented -
+    so callers fall back to the XLA path there."""
+    bpe = 2  # bf16
+    weights = k * (d * r + r + r * d + d) * bpe
+    tiles = 2 * (tile * k * d + 3 * tile * d) * bpe  # taps + c0/out, buffered
+    return weights + tiles < budget_bytes
+
+
+def _fused_cascade_fwd_impl(gates, taps, wd, bd, wu, bu, c0,
+                            activation: str, interpret: bool,
+                            gated: bool = True):
+    n, k, d = taps.shape
+    r = wd.shape[-1]
+    # Tile sized so (taps + carries + out + c0) x double-buffering plus the
+    # K weight matrices stay under the ~16 MB VMEM budget at D=768, K<=13.
+    tile = min(_round_up(max(n, 8), 8), 128)
+    n_pad = _round_up(n, tile)
+    if n_pad != n:
+        taps = jnp.pad(taps, ((0, n_pad - n), (0, 0), (0, 0)))
+        c0 = jnp.pad(c0, ((0, n_pad - n), (0, 0)))
+
+    grid = (n_pad // tile,)
+    kernel = functools.partial(_cascade_kernel, k=k, activation=activation,
+                               gated=gated)
+    (out,) = pl.pallas_call(
+        kernel,
+        grid_spec=pltpu.PrefetchScalarGridSpec(
+            num_scalar_prefetch=1,  # gates
+            grid=grid,
+            in_specs=[
+                pl.BlockSpec((tile, k, d), lambda i, *_: (i, 0, 0)),
+                pl.BlockSpec((k, d, r), lambda i, *_: (0, 0, 0)),
+                pl.BlockSpec((k, r), lambda i, *_: (0, 0)),
+                pl.BlockSpec((k, r, d), lambda i, *_: (0, 0, 0)),
+                pl.BlockSpec((k, d), lambda i, *_: (0, 0)),
+                pl.BlockSpec((tile, d), lambda i, *_: (i, 0)),
+            ],
+            out_specs=[
+                pl.BlockSpec((tile, d), lambda i, *_: (i, 0)),
+            ],
+        ),
+        out_shape=[
+            jax.ShapeDtypeStruct((n_pad, d), taps.dtype),
+        ],
+        interpret=interpret,
+    )(gates, taps, wd, bd, wu, bu, c0)
+    return out[:n]
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(7, 8, 9))
+def fused_cascade(gates, taps, wd, bd, wu, bu, c0,
+                  activation: str = "RELU", interpret: bool = False,
+                  gated: bool = True):
+    """Fused K-step gated adapter cascade.
+
+    gates (K,), taps (N, K, D), wd (K, D, R), bd (K, R), wu (K, R, D),
+    bu (K, D), c0 (N, D) -> final carry (N, D).
+    """
+    return _fused_cascade_fwd_impl(gates, taps, wd, bd, wu, bu, c0,
+                                   activation, interpret, gated)
+
+
+def _fwd(gates, taps, wd, bd, wu, bu, c0, activation, interpret, gated):
+    out = _fused_cascade_fwd_impl(gates, taps, wd, bd, wu, bu, c0,
+                                  activation, interpret, gated)
+    # Rematerialization: save only the inputs; backward recomputes the K
+    # per-step carries (cheap - the cascade is a few tiny matmuls) instead
+    # of streaming an (N, K+1, D) residual tensor through HBM.
+    return out, (gates, taps, wd, bd, wu, bu, c0)
+
+
+def _recompute_carries(gates, taps, wd, bd, wu, bu, c0, activation, gated):
+    f32 = jnp.float32
+    c = c0.astype(f32)
+    carries = [c]
+    for i in range(taps.shape[1]):
+        t_i = taps[:, i, :].astype(f32)
+        if gated:
+            g = jax.nn.sigmoid(gates[i] / GATE_TEMPERATURE).astype(f32)
+            f = g * t_i + (1.0 - g) * c
+        else:
+            f = t_i + c
+        z = jnp.dot(f, wd[i].astype(f32)) + bd[i].astype(f32)
+        a = _act(z, activation)
+        c = jnp.dot(a, wu[i].astype(f32)) + bu[i].astype(f32) + f
+        carries.append(c)
+    return jnp.stack(carries, axis=1)  # (N, K+1, D) fp32
+
+
+def _bwd(activation, interpret, gated, res, dc_out):
+    gates, taps, wd, bd, wu, bu, c0 = res
+    carries = _recompute_carries(gates, taps, wd, bd, wu, bu, c0,
+                                 activation, gated)
+    n, k, d = taps.shape
+    f32 = jnp.float32
+    dc = dc_out.astype(f32)
+    dgates = []
+    dtaps = []
+    dwd, dbd, dwu, dbu = [], [], [], []
+    for i in range(k - 1, -1, -1):
+        c_i = carries[:, i, :].astype(f32)
+        t_i = taps[:, i, :].astype(f32)
+        if gated:
+            g = jax.nn.sigmoid(gates[i] / GATE_TEMPERATURE).astype(f32)
+            f = g * t_i + (1.0 - g) * c_i
+        else:
+            g = jnp.float32(1.0)
+            f = t_i + c_i
+        z = jnp.dot(f, wd[i].astype(f32)) + bd[i].astype(f32)
+        a = _act(z, activation)
+        # c_{i+1} = a @ wu + bu + f
+        dwu.append(jnp.dot(a.T, dc))
+        dbu.append(jnp.sum(dc, axis=0))
+        da = jnp.dot(dc, wu[i].astype(f32).T)
+        dz = _act_grad(z, activation)(da)[0]
+        dwd.append(jnp.dot(f.T, dz))
+        dbd.append(jnp.sum(dz, axis=0))
+        df = jnp.dot(dz, wd[i].astype(f32).T) + dc
+        if gated:
+            dtaps.append(g * df)
+            dgate = jnp.sum(df * (t_i - c_i)) * g * (1.0 - g) \
+                / GATE_TEMPERATURE
+            dgates.append(dgate)
+            dc = (1.0 - g) * df
+        else:
+            dtaps.append(df)
+            dgates.append(jnp.float32(0.0))
+            dc = df
+    stack = lambda xs: jnp.stack(xs[::-1], axis=0)
+    return (
+        stack(dgates).reshape(gates.shape).astype(gates.dtype),
+        jnp.stack(dtaps[::-1], axis=1).astype(taps.dtype),
+        stack(dwd).astype(wd.dtype),
+        stack(dbd).astype(bd.dtype),
+        stack(dwu).astype(wu.dtype),
+        stack(dbu).astype(bu.dtype),
+        dc.astype(dc_out.dtype),
+    )
+
+
+fused_cascade.defvjp(_fwd, _bwd)
+
+
+def reference_cascade(gates, taps, wd, bd, wu, bu, c0, activation="RELU",
+                      gated=True):
+    """Pure-jnp reference implementation (for tests and non-TPU backends)."""
+    c = c0
+    for i in range(taps.shape[1]):
+        if gated:
+            g = jax.nn.sigmoid(gates[i] / GATE_TEMPERATURE)
+            f = g * taps[:, i, :] + (1.0 - g) * c
+        else:
+            f = taps[:, i, :] + c
+        z = jnp.dot(f, wd[i], preferred_element_type=jnp.float32) + bd[i]
+        a = _act(z, activation).astype(f.dtype)
+        c = (jnp.dot(a, wu[i], preferred_element_type=jnp.float32)
+             + bu[i]).astype(f.dtype) + f
+    return c

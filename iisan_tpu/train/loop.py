@@ -93,4 +93,11 @@ class TrainLoopMixin:
         self.params = state["params"]
         self.opt_state = state["opt_state"]
         self.rng = state["rng"]
+        # Re-place on the trainer's mesh sharding (restored arrays land on
+        # the default device).
+        repl = getattr(self, "_repl", None)
+        if repl is not None:
+            self.params = jax.device_put(self.params, repl)
+            self.opt_state = jax.device_put(self.opt_state, repl)
+            self.rng = jax.device_put(self.rng, repl)
         return epoch

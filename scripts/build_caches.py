@@ -1,0 +1,113 @@
+"""Build hidden-state caches for a dataset: the preprocess_vectors.py /
+Versa-builders entry point.
+
+Covers the reference's cache-builder family (SURVEY.md section 2.1 #15/#16):
+  bert-base + vit-base (Code_Cached/preprocess_vectors.py)
+  bert-large / vit-large / vit-huge / vit-tiny (Code_Cached_Asym/preprocess_*)
+  Llama-style mean-pooled text states (preprocess_llama-3-70b_*.py) via
+  --pool mean
+
+Weights load from HuggingFace through torch (cpu) and are converted into
+the Flax towers; the forward passes then run jitted on TPU.
+
+    python scripts/build_caches.py --dataset /root/reference/Dataset/Scientific \
+        --items Industrial_and_Scientific_items.tsv \
+        --behaviors am_Industrial_and_Scientific_users.tsv \
+        --text-model bert-base-uncased --image-model google/vit-base-patch16-224 \
+        --image-source ./images_dir --out ./stored_vectors_sci
+"""
+
+import argparse
+import os
+import sys
+
+sys.path.insert(0, ".")
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--dataset", required=True)
+    ap.add_argument("--items", required=True)
+    ap.add_argument("--behaviors", required=True)
+    ap.add_argument("--text-model", default="bert-base-uncased")
+    ap.add_argument("--image-model", default="google/vit-base-patch16-224")
+    ap.add_argument("--image-source", default="",
+                    help="LMDB path or image directory; synthetic if empty")
+    ap.add_argument("--out", required=True)
+    ap.add_argument("--pool", default="cls", choices=["cls", "mean"],
+                    help="mean = Llama-style per-layer token mean "
+                         "(preprocess_llama-3-70b_micro.py:67-70)")
+    ap.add_argument("--batch", type=int, default=128)
+    ap.add_argument("--num-words-title", type=int, default=30)
+    ap.add_argument("--resize", type=int, default=224)
+    ap.add_argument("--max-seq-len", type=int, default=10)
+    ap.add_argument("--min-seq-len", type=int, default=5)
+    ap.add_argument("--dtype", default="float16")
+    args = ap.parse_args()
+
+    from transformers import AutoConfig, AutoModel, AutoTokenizer
+
+    from iisan_tpu.cache_builder import (build_image_cache, build_text_cache,
+                                         verify_cache)
+    from iisan_tpu.data import preprocess as prep
+    from iisan_tpu.data.images import (DirImageStore, HAS_LMDB,
+                                       LmdbImageStore, SyntheticImageStore)
+    from iisan_tpu.models import bert as jbert
+    from iisan_tpu.models import vit as jvit
+    from iisan_tpu.utils.logging import setup_logger
+
+    setup_logger(os.path.join(args.out, "logs"), "cache_build")
+
+    titles, n2i, i2n = prep.read_items(os.path.join(args.dataset, args.items))
+    corpus = prep.read_behaviors(os.path.join(args.dataset, args.behaviors),
+                                 n2i, i2n, args.max_seq_len, args.min_seq_len)
+
+    # ---- text tower -------------------------------------------------
+    tok = AutoTokenizer.from_pretrained(args.text_model)
+    full_tokens = prep.tokenize_titles(titles, tok, args.num_words_title)
+    tokens = prep.remap_token_table(full_tokens, corpus.item_names, n2i)
+
+    hf_cfg = AutoConfig.from_pretrained(args.text_model)
+    hf_bert = AutoModel.from_pretrained(args.text_model)
+    bert = jbert.BertEncoder(
+        vocab_size=hf_cfg.vocab_size, hidden_dim=hf_cfg.hidden_size,
+        num_layers=hf_cfg.num_hidden_layers,
+        num_heads=hf_cfg.num_attention_heads,
+        intermediate_dim=hf_cfg.intermediate_size,
+        max_position=hf_cfg.max_position_embeddings, dropout=0.0)
+    bert_params = jbert.params_from_hf_torch(
+        hf_bert.state_dict(), num_layers=hf_cfg.num_hidden_layers)
+    store = build_text_cache(bert, bert_params, tokens,
+                             os.path.join(args.out, "bert_outputs.memmap"),
+                             batch=args.batch, pool=args.pool,
+                             dtype=args.dtype)
+    verify_cache(store, hf_cfg.num_hidden_layers + 1, hf_cfg.hidden_size)
+
+    # ---- image tower ------------------------------------------------
+    hf_vcfg = AutoConfig.from_pretrained(args.image_model)
+    hf_vit = AutoModel.from_pretrained(args.image_model)
+    vit = jvit.ViTEncoder(
+        image_size=args.resize, patch_size=hf_vcfg.patch_size,
+        hidden_dim=hf_vcfg.hidden_size, num_layers=hf_vcfg.num_hidden_layers,
+        num_heads=hf_vcfg.num_attention_heads,
+        intermediate_dim=hf_vcfg.intermediate_size)
+    vit_params = jvit.params_from_hf_torch(
+        hf_vit.state_dict(), num_layers=hf_vcfg.num_hidden_layers, prefix="")
+
+    if args.image_source and HAS_LMDB and not os.path.isdir(args.image_source):
+        img_store = LmdbImageStore(args.image_source, args.resize)
+    elif args.image_source and os.path.isdir(args.image_source):
+        img_store = DirImageStore(args.image_source, args.resize)
+    else:
+        print("WARNING: no image source - writing synthetic image states")
+        img_store = SyntheticImageStore(args.resize)
+    store = build_image_cache(vit, vit_params, corpus.item_names, img_store,
+                              os.path.join(args.out, "vit_outputs.memmap"),
+                              resize=args.resize, batch=args.batch,
+                              dtype=args.dtype)
+    verify_cache(store, hf_vcfg.num_hidden_layers + 1, hf_vcfg.hidden_size)
+    print("caches written to", args.out)
+
+
+if __name__ == "__main__":
+    main()

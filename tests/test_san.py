@@ -31,6 +31,13 @@ def gate(theta):
     return 1.0 / (1.0 + np.exp(-theta / 0.1))
 
 
+def np_stack_adapter(params, name, i, x, act="RELU"):
+    """Apply step i of a stacked adapter cascade parameter group."""
+    h = x @ params[f"{name}_wd"][i] + params[f"{name}_bd"][i]
+    h = np.maximum(h, 0)
+    return h @ params[f"{name}_wu"][i] + params[f"{name}_bu"][i] + x
+
+
 def oracle_san(params, cv_states, text_states, kt, kc, text_dim, image_dim,
                remove_first=False, head_mode="cached"):
     """Transcribes the asym forward (model.py:326-429) in numpy."""
@@ -48,18 +55,14 @@ def oracle_san(params, cv_states, text_states, kt, kc, text_dim, image_dim,
     gt = params.get("side_gate_params_text")
     gc = params.get("side_gate_params_cv")
     gm = params.get("side_gate_params_mm")
-    for i in range(dt):
+    for i in range(kt):
         f = gate(gt[i]) * t_taps[:, i] + (1 - gate(gt[i])) * ct
-        ct = np_adapter(params[f"bert_adapter_list_{i}"], f)
-    for i in range(dc):
+        ct = np_stack_adapter(params, "bert_adapter_list", i, f)
+    for i in range(kc):
         f = gate(gc[i]) * c_taps[:, i] + (1 - gate(gc[i])) * cc
-        cc = np_adapter(params[f"cv_adapter_list_{i}"], f)
+        cc = np_stack_adapter(params, "cv_adapter_list", i, f)
     for i in range(k_mm):
         ti, ci = dt + i, dc + i
-        ft = gate(gt[ti]) * t_taps[:, ti] + (1 - gate(gt[ti])) * ct
-        fc = gate(gc[ci]) * c_taps[:, ci] + (1 - gate(gc[ci])) * cc
-        ct = np_adapter(params[f"bert_adapter_list_{ti}"], ft)
-        cc = np_adapter(params[f"cv_adapter_list_{ci}"], fc)
         mt, mc = t_taps[:, ti], c_taps[:, ci]
         if text_dim > image_dim:
             mt = np_linear(params[f"down_project_list_{i}"], mt)
@@ -137,9 +140,9 @@ def test_adapter_zero_bias_small_weights():
                              dtype=jnp.float32)
     x = jnp.zeros((2, 2, 16))
     v = san.init(jax.random.PRNGKey(0), x, x)
-    blk = v["params"]["bert_adapter_list_0"]
-    assert np.all(np.asarray(blk["fc_down"]["bias"]) == 0)
-    assert np.abs(np.asarray(blk["fc_down"]["kernel"])).max() < 0.08
+    p = v["params"]
+    assert np.all(np.asarray(p["bert_adapter_list_bd"]) == 0)
+    assert np.abs(np.asarray(p["bert_adapter_list_wd"])).max() < 0.08
 
 
 def test_intra_only_and_inter_only_modalities(rng):
