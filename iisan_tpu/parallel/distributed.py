@@ -1,0 +1,51 @@
+"""Multi-host runtime initialization.
+
+Replaces the reference's launcher stack
+(``torch.distributed.launch``/``torchrun`` + NCCL process-group init,
+/root/reference/Code_Cached/run.py:479, scripts/run_IISAN.py:68-69): one
+process per host calls ``initialize_runtime()``; JAX's distributed runtime
+wires the hosts, the global mesh spans every chip, and collectives ride
+ICI (DCN only coordinates input pipelines).
+
+Per-host input sharding (the DistributedSampler analog, run.py:124): each
+host enumerates only its slice of users via ``host_shard``.
+"""
+
+from __future__ import annotations
+
+import logging
+from typing import Optional
+
+import jax
+import numpy as np
+
+log = logging.getLogger("iisan_tpu")
+
+
+def initialize_runtime(coordinator_address: Optional[str] = None,
+                       num_processes: Optional[int] = None,
+                       process_id: Optional[int] = None) -> None:
+    """Initialize jax.distributed when launched multi-host.
+
+    With no args, relies on the TPU environment's auto-bootstrap; single
+    process (the common dev case) is a no-op.
+    """
+    if num_processes is not None and num_processes > 1:
+        jax.distributed.initialize(
+            coordinator_address=coordinator_address,
+            num_processes=num_processes,
+            process_id=process_id)
+    log.info("process %d/%d, %d local / %d global devices",
+             jax.process_index(), jax.process_count(),
+             jax.local_device_count(), jax.device_count())
+
+
+def host_shard(n: int, process_index: Optional[int] = None,
+               process_count: Optional[int] = None) -> np.ndarray:
+    """Contiguous per-host index shard padded to equal size by wrapping -
+    the SequentialDistributedSampler layout (dataset.py:324-348)."""
+    pi = jax.process_index() if process_index is None else process_index
+    pc = jax.process_count() if process_count is None else process_count
+    per = -(-n // pc)
+    idx = np.arange(pi * per, (pi + 1) * per)
+    return np.where(idx < n, idx, n - 1)

@@ -114,12 +114,31 @@ def run_from_config(cfg: IISANConfig, eval_only: bool = False):
     else:
         raise ValueError(f"unknown pipeline {cfg.pipeline}")
 
+    start_epoch = 0
+    if cfg.load_ckpt_name != "None":
+        # resume full state incl optimizer + RNG (run.py:234-244)
+        start_epoch = trainer.resume(cfg.load_ckpt_name)
+        log.info("resumed from %s at epoch %d", cfg.load_ckpt_name,
+                 start_epoch)
+    elif cfg.pretrained_recsys_model != "None":
+        # warm-start params only (run.py:141-149)
+        from ..utils.checkpoint import restore_checkpoint
+
+        state, _ = restore_checkpoint(
+            cfg.ckpt_dir, cfg.pretrained_recsys_model,
+            {"params": trainer.params, "opt_state": trainer.opt_state,
+             "rng": trainer.rng, "epoch": 0})
+        trainer.params = state["params"]
+        log.info("warm-started params from %s", cfg.pretrained_recsys_model)
+
     if eval_only:
         hit, ndcg = trainer.evaluate_split("test")
-        log.info("test Hit10 %.5f nDCG10 %.5f", hit * 100, ndcg * 100)
+        log.info("test_methods   Hit10\tnDCG10")
+        log.info("test_results   %.5f\t%.5f", hit * 100, ndcg * 100)
         return trainer, None
 
-    result = trainer.train() if hasattr(trainer, "train") else None
+    result = trainer.train(start_epoch=start_epoch) \
+        if hasattr(trainer, "train") else None
     tpme.record_run(time.time() - t0, trainer)
     log.info("TPME inputs: %s", tpme.summary())
     return trainer, result
