@@ -64,9 +64,9 @@ def compute_item_tables(model, params, cv_taps, text_taps, chunk: int = 8192):
     return jnp.concatenate(outs, axis=0)[:n]
 
 
-@functools.partial(jax.jit, static_argnums=0)
-def eval_step(model, params, fused_table, tokens, log_mask, target, history):
-    """Jitted per-batch ranking step (metrics.py:207-245 vectorized)."""
+def _eval_step_impl(model, params, fused_table, tokens, log_mask, target,
+                    history):
+    """Per-batch ranking step (metrics.py:207-245 vectorized)."""
     input_embs = jnp.take(fused_table, tokens, axis=0)       # (B, L, emb)
     prec = model.apply(
         {"params": params}, input_embs, log_mask,
@@ -79,23 +79,45 @@ def eval_step(model, params, fused_table, tokens, log_mask, target, history):
     return hit_ndcg_at_k(scores, target - 1, k=10)           # (B, 2)
 
 
+eval_step = jax.jit(_eval_step_impl, static_argnums=0)
+
+
+@functools.partial(jax.jit, static_argnums=0)
+def _eval_scan(model, params, fused_table, tokens, log_mask, target, history):
+    """All eval batches in one dispatch: lax.scan over the batch axis.
+
+    tokens/...: (S, B, ...) stacked batches.  Returns (S, B, 2) metrics.
+    """
+
+    def body(_, batch):
+        t, m, tg, h = batch
+        return None, _eval_step_impl(model, params, fused_table, t, m, tg, h)
+
+    _, out = jax.lax.scan(body, None, (tokens, log_mask, target, history))
+    return out
+
+
 def evaluate(model, params, fused_table, tokens, log_mask, target, history,
              batch_size: int = 256) -> Tuple[float, float]:
-    """Mean HR@10 / nDCG@10 over all users (eval_model, metrics.py:162-250)."""
+    """Mean HR@10 / nDCG@10 over all users (eval_model, metrics.py:162-250).
+
+    The whole pass is ONE device dispatch (scan over user batches) - the
+    reference's per-user host loop (metrics.py:207-245) and even a
+    per-batch dispatch loop pay host round-trips this avoids.
+    """
     n = tokens.shape[0]
     n_pad = ((n + batch_size - 1) // batch_size) * batch_size
     pad = n_pad - n
 
-    def pad0(x):
-        return np.concatenate([x, np.repeat(x[-1:], pad, axis=0)], axis=0) \
-            if pad else x
+    def prep(x):
+        x = np.asarray(x)
+        if pad:
+            x = np.concatenate([x, np.repeat(x[-1:], pad, axis=0)], axis=0)
+        return jnp.asarray(x.reshape(n_pad // batch_size, batch_size,
+                                     *x.shape[1:]))
 
-    tokens, log_mask, target, history = map(pad0, (tokens, log_mask, target, history))
-    metrics = []
-    for s in range(0, n_pad, batch_size):
-        sl = slice(s, s + batch_size)
-        metrics.append(eval_step(model, params, fused_table, tokens[sl],
-                                 log_mask[sl], target[sl], history[sl]))
-    all_m = jnp.concatenate(metrics, axis=0)[:n]
+    out = _eval_scan(model, params, fused_table, prep(tokens),
+                     prep(log_mask), prep(target), prep(history))
+    all_m = out.reshape(n_pad, 2)[:n]
     hit, ndcg = jnp.mean(all_m, axis=0)
     return float(hit), float(ndcg)
