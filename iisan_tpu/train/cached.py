@@ -93,6 +93,10 @@ class CachedTrainer(TrainLoopMixin):
 
         n_params = sum(x.size for x in jax.tree_util.tree_leaves(self.params))
         log.info("##### trainable_num %d #####", n_params)
+        # Initial learned-gate dump (Code_Cached_Asym/run.py:255-270 parity).
+        if cfg.pipeline == "cached_asym":
+            for name, vals in self.gate_values().items():
+                log.info("%s: %s", name, np.round(vals, 4).tolist())
 
     # ------------------------------------------------------------------
     def _build_epoch_fn(self):
@@ -151,8 +155,9 @@ class CachedTrainer(TrainLoopMixin):
                               self._perm_sh)
         tables = (self.cv_table, self.text_table, self.train_seqs,
                   self.train_log_mask, self.pop_prob)
-        self.params, self.opt_state, self.rng, mean_loss, _ = self._epoch_fn(
-            self.params, self.opt_state, self.rng, perm, tables)
+        self.params, self.opt_state, self.rng, mean_loss, losses = \
+            self._epoch_fn(self.params, self.opt_state, self.rng, perm, tables)
+        self._last_step_losses = losses  # device array; fetched lazily
         return float(mean_loss)
 
     # ------------------------------------------------------------------

@@ -36,6 +36,24 @@ class TrainLoopMixin:
     """Requires: self.cfg, self.run_epoch(epoch)->loss,
     self.evaluate_split(split)->(hit,ndcg), self.params/opt_state/rng."""
 
+    def _log_step_losses(self, epoch: int):
+        """Intra-epoch batch-loss lines at logging_num intervals - the
+        'cnt/Ed/batch loss/sum loss' format of run.py:390-392, reconstructed
+        from the scan's per-step losses."""
+        import numpy as np
+
+        losses = getattr(self, "_last_step_losses", None)
+        if losses is None:
+            return
+        losses = np.asarray(losses)
+        n = len(losses)
+        interval = max(n // max(self.cfg.logging_num, 1), 1)
+        csum = np.cumsum(losses)
+        for i in range(interval - 1, n, interval):
+            log.info("cnt: %d, Ed: %d, batch loss: %.5f, sum loss: %.5f",
+                     i + 1, (i + 1) * self.cfg.batch_size,
+                     csum[i] / (i + 1), csum[i])
+
     def train(self, save_checkpoints: bool = False,
               start_epoch: int = 0) -> TrainResult:
         cfg = self.cfg
@@ -54,6 +72,7 @@ class TrainLoopMixin:
             if math.isnan(loss):  # NaN-loss abort (run.py:387-389)
                 log.warning("NaN loss at epoch %d - stopping", now_epoch)
                 break
+            self._log_step_losses(now_epoch)
             hit, ndcg = self.evaluate_split("valid")
             log.info(
                 "epoch %d loss %.5f valid Hit10 %.5f nDCG10 %.5f (%.2fs)",

@@ -1,0 +1,60 @@
+"""Uncached-mode throughput benchmark: users/sec with frozen towers
+in-graph (the reference's Code_Uncached hot path).
+
+Reference context (README.md:35): full fine-tuning takes 443 s/epoch on an
+A100 (12,076 users -> ~27 users/s); IISAN-Uncached is faster than FFT but
+slower than cached.  Driver target: >= 3x the PyTorch samples/sec.
+
+Images are synthetic here (the LMDB is not shipped) but the device compute
+path - ViT-base over 224^2 images + BERT-base over 30 tokens for
+bs x (L+1) items per step, SAN, loss, optimizer - is the real one; host
+decode overlap is exercised via the threaded prefetch loader.
+
+Prints one JSON line (secondary metric; the primary bench is bench.py).
+"""
+
+import json
+import sys
+import time
+
+import numpy as np
+
+sys.path.insert(0, ".")
+
+
+def main():
+    from iisan_tpu.config import IISANConfig
+    from iisan_tpu.data.images import SyntheticImageStore
+    from iisan_tpu.data.synthetic import synthetic_corpus
+    from iisan_tpu.train.uncached import UncachedTrainer
+
+    cfg = IISANConfig(
+        pipeline="uncached", batch_size=32, epoch=1, embedding_dim=64,
+        adapter_type="IISAN", adding_adapter_to="all",
+        side_adapter_vit_list="1,3,5,7,9,11",
+        side_adapter_bert_list="1,3,5,7,9,11",
+        lr=2e-4, adapter_cv_lr=1e-4, adapter_bert_lr=1e-4, seed=12345)
+    n_users = 512  # enough steps to amortize; scale to full-epoch rate
+    corpus = synthetic_corpus(n_users=n_users, item_num=800, seed=0)
+    rng = np.random.default_rng(0)
+    tokens = np.zeros((corpus.item_num + 1, 60), np.int32)
+    tokens[1:, :30] = rng.integers(1, 30000, size=(corpus.item_num, 30))
+    tokens[1:, 30:] = 1
+    tr = UncachedTrainer(cfg, corpus, tokens, SyntheticImageStore(224))
+
+    tr.run_epoch(0)  # compile + warm
+    t0 = time.time()
+    tr.run_epoch(1)
+    dt = time.time() - t0
+    users_per_sec = n_users / dt
+    ref_fft_users_per_sec = 12076 / 443.0  # A100 FFT epoch, README.md:35
+    print(json.dumps({
+        "metric": "uncached_users_per_sec",
+        "value": round(users_per_sec, 2),
+        "unit": "users/s",
+        "vs_fft_a100": round(users_per_sec / ref_fft_users_per_sec, 2),
+    }))
+
+
+if __name__ == "__main__":
+    main()
