@@ -129,28 +129,28 @@ class ParallelImageLoader:
         self.pool = ThreadPoolExecutor(max_workers=num_threads)
         self.prefetch = prefetch
 
-    def _decode_batch(self, names: Sequence[str]) -> np.ndarray:
-        return np.stack(list(self.pool.map(self.store.get, names)))
-
     def iter_batches(self, name_batches: Iterable[Sequence[str]]
                      ) -> Iterator[np.ndarray]:
         it = iter(name_batches)
         # Bounded queue: blocking put() paces the producer to the consumer.
+        # The producer submits only per-image leaf tasks (no nested batch
+        # tasks on the same pool - nesting can deadlock the executor).
         pending: "queue.Queue" = queue.Queue(maxsize=self.prefetch)
         done = object()
 
         def submit_all():
             for names in it:
-                pending.put(self.pool.submit(self._decode_batch, names))
+                futs = [self.pool.submit(self.store.get, n) for n in names]
+                pending.put(futs)
             pending.put(done)
 
         t = threading.Thread(target=submit_all, daemon=True)
         t.start()
         while True:
-            fut = pending.get()
-            if fut is done:
+            futs = pending.get()
+            if futs is done:
                 break
-            yield fut.result()
+            yield np.stack([f.result() for f in futs])
 
 
 def build_lmdb(items_tsv: str, image_dir: str, out_path: str,

@@ -1,0 +1,47 @@
+"""Image store + prefetch pipeline tests (data/images.py)."""
+
+import numpy as np
+import pytest
+
+from iisan_tpu.data.images import (DirImageStore, LMDBImage,
+                                   ParallelImageLoader, SyntheticImageStore,
+                                   _to_model_input)
+
+
+def test_to_model_input_range_and_shape():
+    img = np.full((50, 40, 3), 255, np.uint8)
+    out = _to_model_input(img, 8)
+    assert out.shape == (8, 8, 3)
+    np.testing.assert_allclose(out, 1.0)  # 255 -> +1 under the +-0.5 norm
+    out0 = _to_model_input(np.zeros((10, 10, 3), np.uint8), 8)
+    np.testing.assert_allclose(out0, -1.0)
+
+
+def test_lmdb_image_record_roundtrip():
+    """Record layout parity with Dataset/build_lmdb.py:13-23."""
+    img = np.arange(2 * 3 * 3, dtype=np.uint8).reshape(2, 3, 3)
+    rec = LMDBImage(img, "x")
+    np.testing.assert_array_equal(rec.get_image(), img)
+
+
+def test_dir_store(tmp_path):
+    from PIL import Image
+
+    arr = np.random.default_rng(0).integers(0, 255, (12, 12, 3)).astype(np.uint8)
+    Image.fromarray(arr).save(tmp_path / "item1.jpg")
+    store = DirImageStore(str(tmp_path), resize=8)
+    out = store.get("item1")
+    assert out.shape == (8, 8, 3) and out.dtype == np.float32
+
+
+def test_parallel_loader_order_and_shapes():
+    store = SyntheticImageStore(resize=8)
+    loader = ParallelImageLoader(store, num_threads=4, prefetch=2)
+    batches = [[f"a{i}", f"b{i}"] for i in range(10)]
+    out = list(loader.iter_batches(batches))
+    assert len(out) == 10
+    assert all(b.shape == (2, 8, 8, 3) for b in out)
+    # determinism: same names -> same pixels, order preserved
+    out2 = list(loader.iter_batches(batches))
+    np.testing.assert_array_equal(out[3], out2[3])
+    assert not np.array_equal(out[3], out[4])
