@@ -137,6 +137,9 @@ class IISANConfig:
     # the tiny cascade matmuls across scan steps better than the
     # single-kernel grid; kept as an option and for future D-tiled work.
     use_pallas: bool = False
+    # Rematerialize tower layers in the uncached backward pass
+    # (jax.checkpoint): trades recompute FLOPs for HBM headroom.
+    remat_towers: bool = False
     log_dir: str = "./logs"
     ckpt_dir: str = "./checkpoints"
     early_stop_patience: int = 10  # hard-coded `> 10` at Code_Cached/run.py:458

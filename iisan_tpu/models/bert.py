@@ -125,6 +125,9 @@ class BertEncoder(nn.Module):
     lora_rank: int = 0
     houlsby_down: int = 0
     adapter_activation: str = "RELU"
+    # jax.checkpoint each layer: recompute activations in backward instead
+    # of storing them - frees HBM for bigger uncached batches.
+    remat: bool = False
 
     @nn.compact
     def __call__(self, input_ids, attention_mask, deterministic: bool = True):
@@ -147,9 +150,11 @@ class BertEncoder(nn.Module):
         # (1-mask) * large negative added to logits)
         bias = (1.0 - attention_mask.astype(jnp.float32))[:, None, None, :] * -1e9
 
+        layer_cls = nn.remat(BertLayer, static_argnums=(3,)) if self.remat \
+            else BertLayer
         hiddens = [x]
         for i in range(self.num_layers):
-            x = BertLayer(self.num_heads, self.intermediate_dim,
+            x = layer_cls(self.num_heads, self.intermediate_dim,
                           self.dtype, self.dropout, self.lora_rank,
                           self.houlsby_down, self.adapter_activation,
                           name=f"layer_{i}")(x, bias, deterministic)

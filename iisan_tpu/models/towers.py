@@ -213,6 +213,7 @@ def towers_from_config(cfg, dtype=None):
         num_heads=max(1, cfg.word_embedding_dim // 64),
         intermediate_dim=cfg.word_embedding_dim * 4,
         dtype=dtype,
+        remat=cfg.remat_towers,
         **peft,
     )
     vit_peft = dict(peft)
@@ -225,6 +226,7 @@ def towers_from_config(cfg, dtype=None):
         num_heads=max(1, cfg.image_embedding_dim // 64),
         intermediate_dim=cfg.image_embedding_dim * 4,
         dtype=dtype,
+        remat=cfg.remat_towers,
         **vit_peft,
     )
     text_tower = TextTower(bert=bert, embedding_dim=cfg.embedding_dim,

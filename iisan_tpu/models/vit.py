@@ -125,6 +125,8 @@ class ViTEncoder(nn.Module):
     lora_rank: int = 0
     houlsby_down: int = 0
     adapter_activation: str = "RELU"
+    # jax.checkpoint each block (see BertEncoder.remat)
+    remat: bool = False
 
     @nn.compact
     def __call__(self, images, deterministic: bool = True):
@@ -146,12 +148,14 @@ class ViTEncoder(nn.Module):
         x = x + pos.astype(self.dtype)
 
         x = nn.Dropout(self.dropout)(x, deterministic=deterministic)
+        layer_cls = nn.remat(ViTBlock, static_argnums=(2,)) if self.remat \
+            else ViTBlock
         hiddens = [x]
         for i in range(self.num_layers):
-            x = ViTBlock(self.num_heads, self.intermediate_dim,
-                         self.dtype, self.dropout, self.lora_rank,
-                         self.houlsby_down, self.adapter_activation,
-                         name=f"layer_{i}")(x, deterministic)
+            x = layer_cls(self.num_heads, self.intermediate_dim,
+                          self.dtype, self.dropout, self.lora_rank,
+                          self.houlsby_down, self.adapter_activation,
+                          name=f"layer_{i}")(x, deterministic)
             hiddens.append(x)
         last = nn.LayerNorm(epsilon=1e-12, dtype=jnp.float32,
                             name="final_layernorm")(
