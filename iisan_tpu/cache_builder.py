@@ -52,7 +52,10 @@ def _text_states(bert, params, tokens, pool: str = "cls"):
 
 
 @functools.partial(jax.jit, static_argnums=0)
-def _image_states(vit, params, images):
+def _image_states(vit, params, images_u8):
+    from .data.images import normalize_images
+
+    images = normalize_images(images_u8, jnp.float32)
     _, hiddens = vit.apply({"params": params}, images)  # (L+1, B, T, D)
     return hiddens[:, :, 0, :].transpose(1, 0, 2)
 
@@ -83,7 +86,7 @@ def build_image_cache(vit, params, item_names: Sequence[str], image_store,
                       start_item: int = 1) -> HiddenStateCache:
     n = len(item_names)
     probe = _image_states(vit, params,
-                          jnp.zeros((1, resize, resize, 3), jnp.float32))
+                          jnp.zeros((1, resize, resize, 3), jnp.uint8))
     n_layers, dim = probe.shape[1], probe.shape[2]
     store = HiddenStateCache.create(out_path, n, n_layers, dim, dtype)
     loader = ParallelImageLoader(image_store)

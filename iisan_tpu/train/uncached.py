@@ -115,7 +115,10 @@ class UncachedTrainer(TrainLoopMixin):
         log.info("##### method %s trainable_num %d #####", self.method, n_train)
 
     def _build_step(self):
+        from ..data.images import normalize_images
+
         model, tx = self.model, self.tx
+        dtype = jnp.dtype(self.cfg.compute_dtype)
 
         def loss_fn(params, ids, images, tokens, mask, pop, rng):
             return model.apply({"params": params}, ids, images, tokens, mask,
@@ -123,7 +126,9 @@ class UncachedTrainer(TrainLoopMixin):
                                rngs={"dropout": rng})
 
         @jax.jit
-        def step(params, opt_state, rng, ids, images, tokens, mask, pop):
+        def step(params, opt_state, rng, ids, images_u8, tokens, mask, pop):
+            # uint8 crosses the host->device boundary; normalize on device
+            images = normalize_images(images_u8, dtype)
             rng, dropout_rng = jax.random.split(rng)
             loss, grads = jax.value_and_grad(loss_fn)(
                 params, ids, images, tokens, mask, pop, dropout_rng)
@@ -179,7 +184,11 @@ class UncachedTrainer(TrainLoopMixin):
             e = min(s + batch, n)
             ids = np.resize(idx[s:e], batch)
             images = np.asarray(images)
-            images[0] = 0.0 if s == 0 else images[0]  # pad item is zeros
+            if s == 0:
+                # padding item 0 has the zero image (= gray after norm;
+                # reference feeds literal zeros post-norm, dataset.py:233 -
+                # value difference only touches the never-ranked pad column)
+                images[0] = 0
             tokens = jnp.asarray(self.token_table[ids])
             outs.append(emb(self.model, self.params,
                             jnp.asarray(images), tokens)[: e - s])
@@ -202,7 +211,10 @@ class UncachedTrainer(TrainLoopMixin):
 
 
 @functools.partial(jax.jit, static_argnums=0)
-def _fused_item_emb(model, params, images, tokens):
+def _fused_item_emb(model, params, images_u8, tokens):
+    from ..data.images import normalize_images
+
+    images = normalize_images(images_u8, model.dtype or jnp.float32)
     cv, text, mm = model.apply({"params": params}, images, tokens,
                                method=model.item_embeddings)
     return model.apply({"params": params}, cv, text, mm,

@@ -5,7 +5,7 @@ import pytest
 
 from iisan_tpu.data.images import (DirImageStore, LMDBImage,
                                    ParallelImageLoader, SyntheticImageStore,
-                                   _to_model_input)
+                                   _to_model_input, normalize_images)
 
 
 def test_to_model_input_range_and_shape():
@@ -15,6 +15,18 @@ def test_to_model_input_range_and_shape():
     np.testing.assert_allclose(out, 1.0)  # 255 -> +1 under the +-0.5 norm
     out0 = _to_model_input(np.zeros((10, 10, 3), np.uint8), 8)
     np.testing.assert_allclose(out0, -1.0)
+
+
+def test_on_device_normalization_matches_host_path():
+    """uint8 store output + on-device normalize == the reference float
+    pipeline (dataset.py:54-59)."""
+    import jax.numpy as jnp
+
+    rng = np.random.default_rng(0)
+    u8 = rng.integers(0, 256, (4, 8, 8, 3), dtype=np.uint8)
+    want = u8.astype(np.float32) / 255.0 * 2.0 - 1.0
+    got = np.asarray(normalize_images(jnp.asarray(u8), jnp.float32))
+    np.testing.assert_allclose(got, want, atol=1e-6)
 
 
 def test_lmdb_image_record_roundtrip():
@@ -31,7 +43,7 @@ def test_dir_store(tmp_path):
     Image.fromarray(arr).save(tmp_path / "item1.jpg")
     store = DirImageStore(str(tmp_path), resize=8)
     out = store.get("item1")
-    assert out.shape == (8, 8, 3) and out.dtype == np.float32
+    assert out.shape == (8, 8, 3) and out.dtype == np.uint8
 
 
 def test_parallel_loader_order_and_shapes():
