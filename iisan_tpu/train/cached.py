@@ -21,8 +21,6 @@ from __future__ import annotations
 
 import functools
 import logging
-import time
-from dataclasses import dataclass, field
 from typing import Any, Dict, Optional, Tuple
 
 import jax
