@@ -36,6 +36,9 @@ def build_corpus(cfg):
 
 
 def main():
+    from iisan_tpu.utils.compile_cache import enable_compilation_cache
+
+    enable_compilation_cache()
     from iisan_tpu.config import IISANConfig
     from iisan_tpu.data.synthetic import synthetic_taps
     from iisan_tpu.train.cached import CachedTrainer

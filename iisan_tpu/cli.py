@@ -49,6 +49,9 @@ def parse_config(argv=None) -> IISANConfig:
 def main(argv=None) -> int:
     cfg = parse_config(argv)
     from .train.pipelines import run_from_config
+    from .utils.compile_cache import enable_compilation_cache
+
+    enable_compilation_cache()
 
     if "train" in cfg.mode:
         run_from_config(cfg)

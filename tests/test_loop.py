@@ -1,0 +1,57 @@
+"""Train-loop behavior tests: NaN abort, early stop, non-gated fusion."""
+
+import numpy as np
+
+from iisan_tpu.config import IISANConfig
+from iisan_tpu.data.synthetic import synthetic_corpus, synthetic_taps
+from iisan_tpu.train.cached import CachedTrainer
+
+
+def make_trainer(**kw):
+    cfg = IISANConfig(
+        batch_size=8, epoch=5, embedding_dim=16,
+        side_adapter_vit_list="1,3", side_adapter_bert_list="1,3",
+        word_embedding_dim=24, image_embedding_dim=24,
+        compute_dtype="float32", eval_batch_size=16, **kw)
+    corpus = synthetic_corpus(n_users=24, item_num=40)
+    k = len(cfg.san_image_taps())
+    return CachedTrainer(cfg, corpus, synthetic_taps(40, k, 24, 1),
+                         synthetic_taps(40, k, 24, 2))
+
+
+def test_nan_loss_aborts_training(monkeypatch):
+    tr = make_trainer()
+    calls = []
+
+    def bad_epoch(epoch):
+        calls.append(epoch)
+        return float("nan")
+
+    monkeypatch.setattr(tr, "run_epoch", bad_epoch)
+    res = tr.train()
+    assert len(calls) == 1  # stopped immediately (run.py:387-389 analog)
+    assert res.epochs_run == 0
+
+
+def test_early_stop_patience(monkeypatch):
+    tr = make_trainer(early_stop_patience=2)
+    monkeypatch.setattr(tr, "run_epoch", lambda e: 1.0)
+    # metrics never improve after the first eval
+    vals = iter([0.5] + [0.1] * 50)
+    monkeypatch.setattr(tr, "evaluate_split",
+                        lambda split: (next(vals), 0.0)
+                        if split == "valid" else (0.0, 0.0))
+    res = tr.train()
+    # 1 best epoch + patience(2)+1 failing epochs
+    assert res.epochs_run == 4
+    assert res.best_epoch == 1
+
+
+def test_additive_fusion_end_to_end():
+    """fusion_method != gated: additive intra fusion (model.py:328-330);
+    no intra gate params are created."""
+    tr = make_trainer(fusion_method="add")
+    assert "side_gate_params_text" not in tr.params["san"]
+    assert "side_gate_params_mm" in tr.params["san"]  # inter stays gated
+    loss = tr.run_epoch(1)
+    assert np.isfinite(loss)
