@@ -55,17 +55,26 @@ class CachedTrainer(TrainLoopMixin):
         self.model = rec_model_from_config(cfg)
 
         # Data-parallel layout over the mesh (DDP analog, run.py:258):
-        # tables/params replicated, per-step batch sharded on its batch dim
-        # via the permutation's second axis; XLA inserts the grad psum.
+        # params replicated, per-step batch sharded on its batch dim via the
+        # permutation's second axis; XLA inserts the grad psum.  When the
+        # mesh carries a ``model`` axis, the big tap tables are additionally
+        # tensor-sharded along the feature dim - the scaling path for
+        # IISAN-Versa's 8192-dim caches (SURVEY.md section 5); the cascade's
+        # down-projection contraction then reduces over the axis via an XLA
+        # psum on ICI.
         from jax.sharding import NamedSharding, PartitionSpec as P
 
         self._repl = NamedSharding(self.mesh, P())
         self._perm_sh = NamedSharding(self.mesh, P(None, "data"))
+        axes = self.mesh.axis_names
+        table_spec = P(None, None, "model") if "model" in axes else P()
+        self._table_sh = NamedSharding(self.mesh, table_spec)
 
         # Device residency: tap tables + the full (tiny) index arrays.
         store_dt = jnp.dtype(cfg.compute_dtype)
-        self.cv_table = jax.device_put(cv_taps.astype(store_dt), self._repl)
-        self.text_table = jax.device_put(text_taps.astype(store_dt), self._repl)
+        self.cv_table = jax.device_put(cv_taps.astype(store_dt), self._table_sh)
+        self.text_table = jax.device_put(text_taps.astype(store_dt),
+                                         self._table_sh)
         self.pop_prob = jax.device_put(corpus.pop_prob, self._repl)
         self.train_seqs = jax.device_put(corpus.train_seqs, self._repl)
         self.train_log_mask = jax.device_put(corpus.train_log_mask, self._repl)

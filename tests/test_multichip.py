@@ -54,6 +54,19 @@ def test_dp_eval_matches():
 
 
 @pytest.mark.skipif(len(jax.devices()) < 8, reason="needs 8 devices")
+def test_dp_plus_tensor_sharded_tables():
+    """data x model mesh: tap tables sharded along the feature dim
+    (the Versa wide-cache layout) must reproduce single-device numerics."""
+    tr1 = build(make_mesh(devices=jax.devices()[:1]))
+    tr42 = build(make_mesh("data:4,model:2"))
+    assert tr42.cv_table.sharding.spec == \
+        jax.sharding.PartitionSpec(None, None, "model")
+    l1 = [tr1.run_epoch(e) for e in (1, 2)]
+    l42 = [tr42.run_epoch(e) for e in (1, 2)]
+    np.testing.assert_allclose(l1, l42, rtol=1e-4)
+
+
+@pytest.mark.skipif(len(jax.devices()) < 8, reason="needs 8 devices")
 def test_graft_dryrun_multichip():
     import __graft_entry__ as g
 
