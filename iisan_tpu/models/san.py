@@ -157,12 +157,11 @@ class SideAdapterNetwork(nn.Module):
         # joint loop (model.py:318-332) are the same recurrence for intra,
         # so they fuse into a single kernel invocation per branch.
         if intra:
-            from ..ops.fused_san import (fits_vmem, fused_cascade,
-                                         reference_cascade)
+            from ..ops.fused_san import fused_cascade, reference_cascade
 
-            use_fused = (self.use_pallas and jax.default_backend() == "tpu"
-                         and fits_vmem(kt, self.text_dim, self.bert_down_size)
-                         and fits_vmem(kc, self.image_dim, self.cv_down_size))
+            # fused_cascade internally dispatches between the all-weights-
+            # resident kernel and the step-streamed wide-D kernel.
+            use_fused = self.use_pallas and jax.default_backend() == "tpu"
             run = fused_cascade if use_fused else reference_cascade
 
             def cascade(gates, stack, taps, c0):

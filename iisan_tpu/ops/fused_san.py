@@ -68,11 +68,12 @@ def _cascade_kernel(gates_ref, taps_ref, wd_ref, bd_ref, wu_ref, bu_ref,
             # fusion_method != "gated": plain additive fusion
             # (model.py:328-330)
             f = taps_ref[:, i, :] + c
-        z = jnp.dot(f, wd_ref[i], preferred_element_type=jnp.float32) \
-            + bd_ref[i].astype(jnp.float32)
+        prec = jax.lax.Precision.HIGHEST if dtype == jnp.float32 else None
+        z = jnp.dot(f, wd_ref[i], preferred_element_type=jnp.float32,
+                    precision=prec) + bd_ref[i].astype(jnp.float32)
         a = _act(z, activation).astype(dtype)
-        up = jnp.dot(a, wu_ref[i], preferred_element_type=jnp.float32) \
-            + bu_ref[i].astype(jnp.float32)
+        up = jnp.dot(a, wu_ref[i], preferred_element_type=jnp.float32,
+                     precision=prec) + bu_ref[i].astype(jnp.float32)
         c = (up + f.astype(jnp.float32)).astype(dtype)
     out_ref[:] = c
 
@@ -83,14 +84,96 @@ def _round_up(x, m):
 
 def fits_vmem(k: int, d: int, r: int, tile: int = 128,
               budget_bytes: int = 12 * 2**20) -> bool:
-    """Conservative VMEM estimate for the cascade kernel: stacked weights +
-    double-buffered row tiles must fit the ~16 MB/core budget.  Large-D
-    (Versa 8192) geometries need a D-tiled kernel - not yet implemented -
-    so callers fall back to the XLA path there."""
+    """Conservative VMEM estimate: can the all-weights-resident kernel fit
+    the ~16 MB/core budget?  Geometries that don't (Versa's 8192-dim
+    caches) dispatch to the step-streamed kernel instead, which only needs
+    one step's weights at a time."""
     bpe = 2  # bf16
     weights = k * (d * r + r + r * d + d) * bpe
     tiles = 2 * (tile * k * d + 3 * tile * d) * bpe  # taps + c0/out, buffered
     return weights + tiles < budget_bytes
+
+
+def _cascade_kernel_streamed(gates_ref, taps_ref, wd_ref, bd_ref, wu_ref,
+                             bu_ref, c0_ref, out_ref, carry_scr, *, k: int,
+                             activation: str, gated: bool):
+    """Step-streamed variant for wide-D geometries: grid = (N tiles, K);
+    only step k's weights are VMEM-resident, the running carry lives in a
+    persistent fp32 scratch across the K inner grid iterations.
+
+    Refs per (i, k): taps (1, T, D) (K-leading layout); wd (1, D, R);
+    bd (1, 1, R); wu (1, R, D); bu (1, 1, D); c0 (T, D);
+    out (T, D) (written at k == K-1); carry_scr (T, D) fp32 scratch."""
+    ki = pl.program_id(1)
+
+    @pl.when(ki == 0)
+    def _():
+        carry_scr[:] = c0_ref[:].astype(jnp.float32)
+
+    c = carry_scr[:]
+    dtype = c0_ref.dtype
+    if gated:
+        g = jax.nn.sigmoid(gates_ref[ki] / GATE_TEMPERATURE).astype(jnp.float32)
+        f = g * taps_ref[0].astype(jnp.float32) + (1.0 - g) * c
+    else:
+        f = taps_ref[0].astype(jnp.float32) + c
+    # NOTE: matmuls run at MXU default precision (bf16 multiplies for fp32
+    # inputs, fp32 accumulate) - Precision.HIGHEST fails to lower for these
+    # wide-D shapes; accumulation order differs from XLA by row tile, so
+    # fp32 results agree with the XLA path to ~1e-2 relative at D=8192
+    # (production runs are bf16 anyway).
+    z = jnp.dot(f.astype(dtype), wd_ref[0],
+                preferred_element_type=jnp.float32) \
+        + bd_ref[0, 0].astype(jnp.float32)
+    a = _act(z, activation).astype(dtype)
+    up = jnp.dot(a, wu_ref[0], preferred_element_type=jnp.float32) \
+        + bu_ref[0, 0].astype(jnp.float32)
+    c = up + f
+    carry_scr[:] = c
+
+    @pl.when(ki == k - 1)
+    def _():
+        out_ref[:] = c.astype(dtype)
+
+
+def _fused_cascade_streamed_impl(gates, taps, wd, bd, wu, bu, c0,
+                                 activation: str, interpret: bool,
+                                 gated: bool = True):
+    n, k, d = taps.shape
+    r = wd.shape[-1]
+    # Row tile sized for wide D: ~6 VMEM-resident (T, D) buffers.
+    tile = min(_round_up(max(n, 8), 8), max(8, (2 ** 21) // (d * 2) // 8 * 8))
+    n_pad = _round_up(n, tile)
+    if n_pad != n:
+        taps = jnp.pad(taps, ((0, n_pad - n), (0, 0), (0, 0)))
+        c0 = jnp.pad(c0, ((0, n_pad - n), (0, 0)))
+
+    grid = (n_pad // tile, k)  # k iterates fastest (sequential per core)
+    kernel = functools.partial(_cascade_kernel_streamed, k=k,
+                               activation=activation, gated=gated)
+    taps_kl = taps.transpose(1, 0, 2)  # (K, N, D): K-leading for tiling
+    (out,) = pl.pallas_call(
+        kernel,
+        grid_spec=pltpu.PrefetchScalarGridSpec(
+            num_scalar_prefetch=1,  # gates
+            grid=grid,
+            in_specs=[
+                pl.BlockSpec((1, tile, d), lambda i, ki, *_: (ki, i, 0)),
+                pl.BlockSpec((1, d, r), lambda i, ki, *_: (ki, 0, 0)),
+                pl.BlockSpec((1, 1, r), lambda i, ki, *_: (ki, 0, 0)),
+                pl.BlockSpec((1, r, d), lambda i, ki, *_: (ki, 0, 0)),
+                pl.BlockSpec((1, 1, d), lambda i, ki, *_: (ki, 0, 0)),
+                pl.BlockSpec((tile, d), lambda i, ki, *_: (i, 0)),
+            ],
+            out_specs=[
+                pl.BlockSpec((tile, d), lambda i, ki, *_: (i, 0)),
+            ],
+            scratch_shapes=[pltpu.VMEM((tile, d), jnp.float32)],
+        ),
+        out_shape=[jax.ShapeDtypeStruct((n_pad, d), taps.dtype)],
+        interpret=interpret,
+    )(gates, taps_kl, wd, bd[:, None, :], wu, bu[:, None, :], c0)
+    return out[:n]
 
 
 def _fused_cascade_fwd_impl(gates, taps, wd, bd, wu, bu, c0,
@@ -143,13 +226,22 @@ def fused_cascade(gates, taps, wd, bd, wu, bu, c0,
     gates (K,), taps (N, K, D), wd (K, D, R), bd (K, R), wu (K, R, D),
     bu (K, D), c0 (N, D) -> final carry (N, D).
     """
-    return _fused_cascade_fwd_impl(gates, taps, wd, bd, wu, bu, c0,
-                                   activation, interpret, gated)
+    return _dispatch_fwd(gates, taps, wd, bd, wu, bu, c0,
+                         activation, interpret, gated)
+
+
+def _dispatch_fwd(gates, taps, wd, bd, wu, bu, c0, activation, interpret,
+                  gated):
+    n, k, d = taps.shape
+    r = wd.shape[-1]
+    impl = _fused_cascade_fwd_impl if fits_vmem(k, d, r) \
+        else _fused_cascade_streamed_impl
+    return impl(gates, taps, wd, bd, wu, bu, c0, activation, interpret, gated)
 
 
 def _fwd(gates, taps, wd, bd, wu, bu, c0, activation, interpret, gated):
-    out = _fused_cascade_fwd_impl(gates, taps, wd, bd, wu, bu, c0,
-                                  activation, interpret, gated)
+    out = _dispatch_fwd(gates, taps, wd, bd, wu, bu, c0,
+                        activation, interpret, gated)
     # Rematerialization: save only the inputs; backward recomputes the K
     # per-step carries (cheap - the cascade is a few tiny matmuls) instead
     # of streaming an (N, K+1, D) residual tensor through HBM.

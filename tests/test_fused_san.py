@@ -56,3 +56,24 @@ def test_row_padding_correct(rng):
     got = fused_cascade(**inp, interpret=True)
     want = reference_cascade(**inp)
     np.testing.assert_allclose(np.asarray(got), np.asarray(want), atol=2e-5)
+
+
+def test_streamed_wide_d_variant(rng):
+    """The step-streamed kernel (dispatched for VMEM-exceeding geometries,
+    e.g. Versa 8192-dim) matches the reference."""
+    from iisan_tpu.ops.fused_san import _fused_cascade_streamed_impl, fits_vmem
+
+    assert not fits_vmem(7, 8192, 64)  # Versa geometry needs streaming
+    assert fits_vmem(7, 768, 64)       # base geometry stays resident
+    inp = make_inputs(rng, n=21, k=3, d=64, r=8)
+    got = _fused_cascade_streamed_impl(**inp, activation="RELU",
+                                       interpret=True)
+    want = reference_cascade(**inp)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want), atol=2e-5)
+
+
+def test_non_gated_cascade(rng):
+    inp = make_inputs(rng, n=9, k=3, d=16, r=4)
+    got = fused_cascade(**inp, interpret=True, gated=False)
+    want = reference_cascade(**inp, gated=False)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want), atol=2e-5)
