@@ -13,8 +13,8 @@ at /root/reference/Code_Cached_Asym/parameters.py:29-75.
 from __future__ import annotations
 
 import dataclasses
-from dataclasses import dataclass, field
-from typing import List, Optional, Tuple
+from dataclasses import dataclass
+from typing import Tuple
 
 
 def _parse_int_list(s: str) -> Tuple[int, ...]:

@@ -9,8 +9,6 @@ per item, embeddings row first).
 
 from __future__ import annotations
 
-from typing import Tuple
-
 import numpy as np
 
 from .preprocess import Corpus

@@ -23,7 +23,7 @@ reference implementation in tests/test_towers.py.
 from __future__ import annotations
 
 import math
-from typing import Any, Optional
+from typing import Any
 
 import jax
 import jax.numpy as jnp

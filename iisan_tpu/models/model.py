@@ -20,7 +20,7 @@ import jax.numpy as jnp
 from flax import linen as nn
 
 from ..ops.losses import inbatch_ce_loss
-from .modules import TorchLinear, XavierLinear
+from .modules import TorchLinear
 from .san import SideAdapterNetwork, san_from_config
 from .user_encoder import UserEncoder
 

@@ -39,7 +39,7 @@ config and ~10x for Llama-70B caches (81 layers, 7 selected).
 
 from __future__ import annotations
 
-from typing import Any, Optional, Tuple
+from typing import Any, Optional
 
 import jax
 import jax.numpy as jnp

@@ -26,11 +26,8 @@ bf16): taps 2.6 MB + carries 3 MB + weights 1.4 MB - comfortably under the
 from __future__ import annotations
 
 import functools
-from typing import Tuple
-
 import jax
 import jax.numpy as jnp
-import numpy as np
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 

@@ -14,7 +14,7 @@ extra axes for tensor-sharding the Versa 8192-dim caches across chips.
 
 from __future__ import annotations
 
-from typing import Optional, Sequence, Tuple
+from typing import Optional, Sequence
 
 import jax
 import numpy as np

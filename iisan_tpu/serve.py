@@ -16,7 +16,7 @@ Works with any trainer exposing the eval surface (cached / uncached / id).
 from __future__ import annotations
 
 import functools
-from typing import Optional, Tuple
+from typing import Tuple
 
 import jax
 import jax.numpy as jnp

@@ -21,7 +21,7 @@ from __future__ import annotations
 
 import functools
 import logging
-from typing import Any, Dict, Optional, Tuple
+from typing import Dict, Tuple
 
 import jax
 import jax.numpy as jnp
@@ -30,9 +30,9 @@ import numpy as np
 from ..config import IISANConfig
 from ..data.preprocess import Corpus
 from ..eval.evaluate import compute_item_tables, evaluate
-from ..models.model import IISANRecModel, rec_model_from_config
-from ..parallel.mesh import make_mesh, replicate
-from .loop import TrainLoopMixin, TrainResult
+from ..models.model import rec_model_from_config
+from ..parallel.mesh import make_mesh
+from .loop import TrainLoopMixin
 from .optim import build_optimizer
 
 log = logging.getLogger("iisan_tpu")

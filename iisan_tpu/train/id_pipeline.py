@@ -22,7 +22,6 @@ from ..data.preprocess import Corpus
 from ..eval.evaluate import evaluate
 from ..models.model import IDRecModel
 from .loop import TrainLoopMixin
-from .optim import build_optimizer
 
 log = logging.getLogger("iisan_tpu")
 

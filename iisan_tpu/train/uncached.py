@@ -16,8 +16,7 @@ from __future__ import annotations
 
 import functools
 import logging
-import time
-from typing import Any, Dict, Optional, Tuple
+from typing import Dict, Optional, Tuple
 
 import jax
 import jax.numpy as jnp
@@ -29,7 +28,6 @@ from ..data.preprocess import Corpus
 from ..models.san import san_from_config
 from ..models.towers import (FFTRecModel, UncachedIISANModel,
                              towers_from_config)
-from ..ops.metrics import hit_ndcg_at_k, mask_history
 from .loop import TrainLoopMixin
 from .optim import build_optimizer
 from .peft_masks import trainable_mask
@@ -109,9 +107,9 @@ class UncachedTrainer(TrainLoopMixin):
         self.opt_state = self.tx.init(self.params)
         self._step = self._build_step()
         n_train = sum(
-            int(np.sum(m) and x.size)
+            x.size
             for x, m in zip(jax.tree_util.tree_leaves(self.params),
-                            jax.tree_util.tree_leaves(self.mask)))
+                            jax.tree_util.tree_leaves(self.mask)) if m)
         log.info("##### method %s trainable_num %d #####", self.method, n_train)
 
     def _build_step(self):
