@@ -33,7 +33,7 @@ from ..eval.evaluate import compute_item_tables, evaluate
 from ..models.model import rec_model_from_config
 from ..parallel.mesh import make_mesh
 from .loop import TrainLoopMixin
-from .optim import build_optimizer
+from .optim import build_optimizer, log_group_sizes
 
 log = logging.getLogger("iisan_tpu")
 
@@ -95,6 +95,7 @@ class CachedTrainer(TrainLoopMixin):
         )
         self.params = jax.device_put(variables["params"], self._repl)
         self.tx = build_optimizer(cfg, self.params)
+        log_group_sizes(cfg, self.params)
         self.opt_state = jax.device_put(self.tx.init(self.params), self._repl)
         self._epoch_fn = self._build_epoch_fn()
 

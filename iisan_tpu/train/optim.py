@@ -70,6 +70,32 @@ def param_labels(params) -> Any:
     return flat
 
 
+def log_group_sizes(cfg, params, trainable_mask=None) -> Dict[str, int]:
+    """Per-group parameter-tensor counts - the reference's
+    '***** N parameters have learning rate LR *****' lines
+    (run.py:320-322)."""
+    import logging
+
+    log = logging.getLogger("iisan_tpu")
+    labels = jax.tree_util.tree_leaves(param_labels(params))
+    masks = jax.tree_util.tree_leaves(trainable_mask) if trainable_mask \
+        else [True] * len(labels)
+    lrs = {"text_tower": cfg.fine_tune_lr_text,
+           "image_tower": cfg.fine_tune_lr_image,
+           "recsys": cfg.lr,
+           "adapter_cv": cfg.adapter_cv_lr,
+           "adapter_text": cfg.adapter_bert_lr}
+    counts = {g: 0 for g in GROUPS}
+    for lab, m in zip(labels, masks):
+        if m:
+            counts[lab] += 1
+    for g, n in counts.items():
+        if n:
+            log.info("***** %d parameters have learning rate %g *****",
+                     n, lrs[g])
+    return counts
+
+
 def build_optimizer(cfg, params, trainable_mask=None) -> optax.GradientTransformation:
     """5-group Adam (torch defaults b1=.9 b2=.999 eps=1e-8, run.py:301-307).
 

@@ -29,7 +29,7 @@ from ..models.san import san_from_config
 from ..models.towers import (FFTRecModel, UncachedIISANModel,
                              towers_from_config)
 from .loop import TrainLoopMixin
-from .optim import build_optimizer
+from .optim import build_optimizer, log_group_sizes
 from .peft_masks import trainable_mask
 
 log = logging.getLogger("iisan_tpu")
@@ -104,6 +104,7 @@ class UncachedTrainer(TrainLoopMixin):
             self.params = _graft_tower_params(self.params, tower_params)
         self.mask = trainable_mask(self.params, self.method)
         self.tx = build_optimizer(cfg, self.params, trainable_mask=self.mask)
+        log_group_sizes(cfg, self.params, self.mask)
         self.opt_state = self.tx.init(self.params)
         self._step = self._build_step()
         n_train = sum(
