@@ -73,7 +73,10 @@ class TrainLoopMixin:
                 log.warning("NaN loss at epoch %d - stopping", now_epoch)
                 break
             self._log_step_losses(now_epoch)
+            eval_t0 = time.time()
             hit, ndcg = self.evaluate_split("valid")
+            from ..utils.profiling import report_time_eval
+            report_time_eval(eval_t0)  # utils.py:125-129 parity line
             log.info(
                 "epoch %d loss %.5f valid Hit10 %.5f nDCG10 %.5f (%.2fs)",
                 now_epoch, loss, hit * 100, ndcg * 100, epoch_time)

@@ -193,6 +193,16 @@ class UncachedTrainer(TrainLoopMixin):
                             jnp.asarray(images), tokens)[: e - s])
         return jnp.concatenate(outs, axis=0)
 
+    def gate_values(self) -> Dict[str, np.ndarray]:
+        """Learned gate introspection (Code_Cached_Asym/run.py:255-270)."""
+        out = {}
+        san = self.params.get("san", {})
+        for name in ("side_gate_params_text", "side_gate_params_cv",
+                     "side_gate_params_mm"):
+            if name in san:
+                out[name] = np.asarray(jax.nn.sigmoid(san[name] / 0.1))
+        return out
+
     def evaluate_split(self, split: str = "valid",
                        batch_size: int = 256) -> Tuple[float, float]:
         from ..eval.evaluate import evaluate
