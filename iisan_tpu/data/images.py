@@ -149,6 +149,11 @@ class ParallelImageLoader:
         self.store = store
         self.pool = ThreadPoolExecutor(max_workers=num_threads)
         self.prefetch = prefetch
+        resize = getattr(store, "resize", 224)
+        # Padding positions (item id 0) never hit the store: the reference
+        # feeds a zero tensor for pads (Code_Uncached/data_utils/
+        # dataset.py:66-70); a ``None`` name short-circuits to this.
+        self._pad_image = np.zeros((resize, resize, 3), dtype=np.uint8)
 
     def iter_batches(self, name_batches: Iterable[Sequence[str]]
                      ) -> Iterator[np.ndarray]:
@@ -161,7 +166,8 @@ class ParallelImageLoader:
 
         def submit_all():
             for names in it:
-                futs = [self.pool.submit(self.store.get, n) for n in names]
+                futs = [self.pool.submit(self.store.get, n)
+                        if n is not None else None for n in names]
                 pending.put(futs)
             pending.put(done)
 
@@ -171,7 +177,8 @@ class ParallelImageLoader:
             futs = pending.get()
             if futs is done:
                 break
-            yield np.stack([f.result() for f in futs])
+            yield np.stack([f.result() if f is not None else self._pad_image
+                            for f in futs])
 
 
 def build_lmdb(items_tsv: str, image_dir: str, out_path: str,

@@ -137,7 +137,11 @@ class SideAdapterNetwork(nn.Module):
             # The inter branch is gated regardless of fusion_method in every
             # reachable reference path (model.py:335-338 reads the gates
             # unconditionally), so the gates always exist here.
-            mm_down = self.cv_down_size if self.text_dim >= self.image_dim \
+            # Bottleneck size: bert_adapter_down_size in the symmetric model
+            # (Code_Cached model.py:274) and asym's equal/narrower-text
+            # branches (asym model.py:287); cv_adapter_down_size only when
+            # text is strictly wider (asym model.py:281-285).
+            mm_down = self.cv_down_size if self.text_dim > self.image_dim \
                 else self.bert_down_size
             mm_adapters = [
                 AdapterBlock(mm_down, self.activation, dtype=dtype,

@@ -139,8 +139,10 @@ class UncachedTrainer(TrainLoopMixin):
 
     # ------------------------------------------------------------------
     def _batch_names(self, ids_flat: np.ndarray):
+        """Pad id 0 -> None: the loader feeds a zero image with no store
+        lookup (reference pads with zero tensors, dataset.py:66-70)."""
         names = self.corpus.item_names
-        return [names[i] if i > 0 else names[0] for i in ids_flat]
+        return [names[i] if i > 0 else None for i in ids_flat]
 
     def run_epoch(self, epoch: int) -> float:
         cfg, c = self.cfg, self.corpus

@@ -57,3 +57,31 @@ def test_parallel_loader_order_and_shapes():
     out2 = list(loader.iter_batches(batches))
     np.testing.assert_array_equal(out[3], out2[3])
     assert not np.array_equal(out[3], out[4])
+
+
+def test_parallel_loader_pad_sentinel_skips_store(tmp_path):
+    """Pad id 0 (None name) must never hit the store (advisor r1 high):
+    DirImageStore would raise FileNotFoundError for the '<pad>' name."""
+    from PIL import Image
+
+    arr = np.random.default_rng(1).integers(0, 255, (12, 12, 3)).astype(np.uint8)
+    Image.fromarray(arr).save(tmp_path / "item1.jpg")
+    store = DirImageStore(str(tmp_path), resize=8)
+    loader = ParallelImageLoader(store, num_threads=2)
+    out = list(loader.iter_batches([[None, "item1", None]]))
+    assert out[0].shape == (3, 8, 8, 3)
+    np.testing.assert_array_equal(out[0][0], 0)  # zero pad image
+    np.testing.assert_array_equal(out[0][2], 0)
+    assert out[0][1].any()
+
+
+def test_uncached_batch_names_pad_is_none():
+    """UncachedTrainer maps padded positions to the None sentinel."""
+    from iisan_tpu.train.uncached import UncachedTrainer
+
+    class C:
+        item_names = ["<pad>", "a", "b"]
+
+    names = UncachedTrainer._batch_names(
+        type("T", (), {"corpus": C})(), np.array([0, 2, 0, 1]))
+    assert names == [None, "b", None, "a"]

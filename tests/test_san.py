@@ -161,3 +161,23 @@ def test_intra_only_and_inter_only_modalities(rng):
     v = inter.init(jax.random.PRNGKey(0), x, x)
     cv, t, mm = inter.apply(v, x, x)
     assert cv is None and t is None and mm is not None
+
+
+@pytest.mark.parametrize("text_dim,image_dim,want_down", [
+    (32, 32, 24),   # equal dims -> bert_adapter_down_size (Code_Cached model.py:274)
+    (16, 40, 24),   # narrower text -> bert size (asym model.py:287)
+    (48, 32, 8),    # strictly wider text -> cv size (asym model.py:281-285)
+])
+def test_inter_branch_bottleneck_size(text_dim, image_dim, want_down):
+    """Advisor r1 low: the inter-adapter bottleneck must use
+    bert_adapter_down_size except when text is strictly wider."""
+    san = SideAdapterNetwork(
+        embedding_dim=8, text_dim=text_dim, image_dim=image_dim,
+        num_text_taps=3, num_image_taps=3,
+        bert_down_size=24, cv_down_size=8, dtype=jnp.float32)
+    cv = jnp.zeros((2, 3, image_dim))
+    text = jnp.zeros((2, 3, text_dim))
+    params = san.init(jax.random.PRNGKey(0), cv, text)["params"]
+    mm_dim = min(text_dim, image_dim)
+    assert params["mm_adapter_list_0"]["fc_down"]["kernel"].shape == \
+        (mm_dim, want_down)
