@@ -142,6 +142,9 @@ class IISANConfig:
     remat_towers: bool = False
     log_dir: str = "./logs"
     ckpt_dir: str = "./checkpoints"
+    # Persist epoch checkpoints on new best / every 10th epoch, process 0
+    # (the reference always saves in train mode, Code_Cached/run.py:402-405).
+    save_checkpoints: bool = True
     early_stop_patience: int = 10  # hard-coded `> 10` at Code_Cached/run.py:458
 
     # ------------------------------------------------------------------

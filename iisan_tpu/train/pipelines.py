@@ -137,7 +137,8 @@ def run_from_config(cfg: IISANConfig, eval_only: bool = False):
         log.info("test_results   %.5f\t%.5f", hit * 100, ndcg * 100)
         return trainer, None
 
-    result = trainer.train(start_epoch=start_epoch) \
+    result = trainer.train(start_epoch=start_epoch,
+                           save_checkpoints=cfg.save_checkpoints) \
         if hasattr(trainer, "train") else None
     tpme.record_run(time.time() - t0, trainer)
     log.info("TPME inputs: %s", tpme.summary())
