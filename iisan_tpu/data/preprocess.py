@@ -207,6 +207,28 @@ def tokenize_titles(
     return out
 
 
+def tokenize_titles_llama(
+    item_id_to_title: Dict[int, str],
+    tokenizer,
+    num_words_title: int,
+) -> np.ndarray:
+    """Tokenize titles the way the reference Llama cache builders do
+    (Code_Cached_Asym/preprocess_llama-3-70b_micro.py:33-42,58-61):
+    ``tokenizer.encode(text, add_special_tokens=True)`` manually 0-padded /
+    truncated to ``num_words_title``, with NO attention mask passed to the
+    model - pads are attended and later mean-pooled.  The packed layout
+    therefore carries an all-ones mask.  Row 0 is the padding item.
+    """
+    n = len(item_id_to_title) + 1
+    out = np.zeros((n, num_words_title * 2), dtype=np.int32)
+    for i in range(1, n):
+        toks = tokenizer.encode(item_id_to_title[i], add_special_tokens=True)
+        toks = toks[:num_words_title]
+        out[i, : len(toks)] = np.asarray(toks, dtype=np.int32)
+    out[:, num_words_title:] = 1
+    return out
+
+
 def remap_token_table(token_table: np.ndarray, item_names: List[str],
                       item_name_to_id: Dict[str, int]) -> np.ndarray:
     """Reindex a (before_item_num+1, ...) table to surviving dense ids."""

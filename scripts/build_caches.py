@@ -31,6 +31,13 @@ def main():
     ap.add_argument("--behaviors", required=True)
     ap.add_argument("--text-model", default="bert-base-uncased")
     ap.add_argument("--image-model", default="google/vit-base-patch16-224")
+    ap.add_argument("--text-arch", default="bert", choices=["bert", "llama"],
+                    help="llama = RMSNorm/rotary/SwiGLU decoder tower, the "
+                         "Llama-3-70B Versa path (mean-pooled, no mask - "
+                         "preprocess_llama-3-70b_micro.py)")
+    ap.add_argument("--image-arch", default="vit", choices=["vit", "clip"],
+                    help="clip = CLIP-family vision tower, the EVA Versa "
+                         "path (process_eva_clip_vectors.py)")
     ap.add_argument("--image-source", default="",
                     help="LMDB path or image directory; synthetic if empty")
     ap.add_argument("--out", required=True)
@@ -64,35 +71,59 @@ def main():
 
     # ---- text tower -------------------------------------------------
     tok = AutoTokenizer.from_pretrained(args.text_model)
-    full_tokens = prep.tokenize_titles(titles, tok, args.num_words_title)
-    tokens = prep.remap_token_table(full_tokens, corpus.item_names, n2i)
-
     hf_cfg = AutoConfig.from_pretrained(args.text_model)
-    hf_bert = AutoModel.from_pretrained(args.text_model)
-    bert = jbert.BertEncoder(
-        vocab_size=hf_cfg.vocab_size, hidden_dim=hf_cfg.hidden_size,
-        num_layers=hf_cfg.num_hidden_layers,
-        num_heads=hf_cfg.num_attention_heads,
-        intermediate_dim=hf_cfg.intermediate_size,
-        max_position=hf_cfg.max_position_embeddings, dropout=0.0)
-    bert_params = jbert.params_from_hf_torch(
-        hf_bert.state_dict(), num_layers=hf_cfg.num_hidden_layers)
-    store = build_text_cache(bert, bert_params, tokens,
-                             os.path.join(args.out, "bert_outputs.memmap"),
-                             batch=args.batch, pool=args.pool,
+    hf_text = AutoModel.from_pretrained(args.text_model)
+    if args.text_arch == "llama":
+        from iisan_tpu.models import llama as jllama
+
+        # Reference Llama builders: encode + manual 0-pad, all-ones mask,
+        # mean-pool over all tokens (preprocess_llama-3-70b_micro.py:58-70).
+        full_tokens = prep.tokenize_titles_llama(titles, tok,
+                                                 args.num_words_title)
+        text_enc = jllama.encoder_from_hf_config(hf_cfg)
+        text_params = jllama.params_from_hf_torch(
+            hf_text.state_dict(), num_layers=hf_cfg.num_hidden_layers,
+            prefix="")
+        pool, out_name = "mean", "llama_outputs.memmap"
+    else:
+        full_tokens = prep.tokenize_titles(titles, tok, args.num_words_title)
+        text_enc = jbert.BertEncoder(
+            vocab_size=hf_cfg.vocab_size, hidden_dim=hf_cfg.hidden_size,
+            num_layers=hf_cfg.num_hidden_layers,
+            num_heads=hf_cfg.num_attention_heads,
+            intermediate_dim=hf_cfg.intermediate_size,
+            max_position=hf_cfg.max_position_embeddings, dropout=0.0)
+        text_params = jbert.params_from_hf_torch(
+            hf_text.state_dict(), num_layers=hf_cfg.num_hidden_layers)
+        pool, out_name = args.pool, "bert_outputs.memmap"
+    tokens = prep.remap_token_table(full_tokens, corpus.item_names, n2i)
+    store = build_text_cache(text_enc, text_params, tokens,
+                             os.path.join(args.out, out_name),
+                             batch=args.batch, pool=pool,
                              dtype=args.dtype)
     verify_cache(store, hf_cfg.num_hidden_layers + 1, hf_cfg.hidden_size)
 
     # ---- image tower ------------------------------------------------
     hf_vcfg = AutoConfig.from_pretrained(args.image_model)
     hf_vit = AutoModel.from_pretrained(args.image_model)
-    vit = jvit.ViTEncoder(
-        image_size=args.resize, patch_size=hf_vcfg.patch_size,
-        hidden_dim=hf_vcfg.hidden_size, num_layers=hf_vcfg.num_hidden_layers,
-        num_heads=hf_vcfg.num_attention_heads,
-        intermediate_dim=hf_vcfg.intermediate_size)
-    vit_params = jvit.params_from_hf_torch(
-        hf_vit.state_dict(), num_layers=hf_vcfg.num_hidden_layers, prefix="")
+    if args.image_arch == "clip":
+        from iisan_tpu.models import clip_vit as jclip
+
+        vcfg = getattr(hf_vcfg, "vision_config", hf_vcfg)
+        vit = jclip.encoder_from_hf_config(vcfg)
+        vit_params = jclip.params_from_hf_torch(
+            hf_vit.state_dict(), num_layers=vcfg.num_hidden_layers)
+        hf_vcfg = vcfg
+    else:
+        vit = jvit.ViTEncoder(
+            image_size=args.resize, patch_size=hf_vcfg.patch_size,
+            hidden_dim=hf_vcfg.hidden_size,
+            num_layers=hf_vcfg.num_hidden_layers,
+            num_heads=hf_vcfg.num_attention_heads,
+            intermediate_dim=hf_vcfg.intermediate_size)
+        vit_params = jvit.params_from_hf_torch(
+            hf_vit.state_dict(), num_layers=hf_vcfg.num_hidden_layers,
+            prefix="")
 
     if args.image_source and HAS_LMDB and not os.path.isdir(args.image_source):
         img_store = LmdbImageStore(args.image_source, args.resize)
@@ -101,8 +132,10 @@ def main():
     else:
         print("WARNING: no image source - writing synthetic image states")
         img_store = SyntheticImageStore(args.resize)
+    img_out = "clip_outputs.memmap" if args.image_arch == "clip" \
+        else "vit_outputs.memmap"
     store = build_image_cache(vit, vit_params, corpus.item_names, img_store,
-                              os.path.join(args.out, "vit_outputs.memmap"),
+                              os.path.join(args.out, img_out),
                               resize=args.resize, batch=args.batch,
                               dtype=args.dtype)
     verify_cache(store, hf_vcfg.num_hidden_layers + 1, hf_vcfg.hidden_size)

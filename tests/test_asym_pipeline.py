@@ -43,7 +43,8 @@ def test_cached_asym_from_config(tiny_dataset):
         cached_text_model="llama_embeddings", cached_text_prefix="llama",
         cached_image_model="vit_tiny_outputs", cached_image_prefix="vit",
         compute_dtype="float32", eval_batch_size=16,
-        log_dir=str(tiny_dataset / "logs"))
+        log_dir=str(tiny_dataset / "logs"),
+        ckpt_dir=str(tiny_dataset / "ckpts"))
 
     titles, n2i, i2n = prep.read_items(str(tiny_dataset / "items.tsv"))
     corpus = prep.read_behaviors(str(tiny_dataset / "users.tsv"), n2i, i2n,
