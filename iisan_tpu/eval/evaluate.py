@@ -98,23 +98,42 @@ def _eval_scan(model, params, fused_table, tokens, log_mask, target, history):
 
 
 def evaluate(model, params, fused_table, tokens, log_mask, target, history,
-             batch_size: int = 256) -> Tuple[float, float]:
+             batch_size: int = 256, mesh=None) -> Tuple[float, float]:
     """Mean HR@10 / nDCG@10 over all users (eval_model, metrics.py:162-250).
 
     The whole pass is ONE device dispatch (scan over user batches) - the
     reference's per-user host loop (metrics.py:207-245) and even a
     per-batch dispatch loop pay host round-trips this avoids.
+
+    With ``mesh``, each per-step user batch is sharded over the mesh's
+    ``data`` axis - on a multi-host mesh each process materializes only its
+    users (the SequentialDistributedSampler analog, dataset.py:294-321) and
+    the final mean is the cross-host reduction the reference does with
+    dist.all_gather + crop (eval_concat, metrics.py:43-56); wrap-padded
+    rows are cropped before the mean exactly like eval_concat.
     """
     n = tokens.shape[0]
     n_pad = ((n + batch_size - 1) // batch_size) * batch_size
     pad = n_pad - n
 
+    sharding = None
+    if mesh is not None and "data" in mesh.axis_names:
+        from jax.sharding import NamedSharding, PartitionSpec as P
+
+        n_data = mesh.shape["data"]
+        spec = P(None, "data") if batch_size % n_data == 0 else P()
+        sharding = NamedSharding(mesh, spec)
+
     def prep(x):
         x = np.asarray(x)
         if pad:
             x = np.concatenate([x, np.repeat(x[-1:], pad, axis=0)], axis=0)
-        return jnp.asarray(x.reshape(n_pad // batch_size, batch_size,
-                                     *x.shape[1:]))
+        x = x.reshape(n_pad // batch_size, batch_size, *x.shape[1:])
+        if sharding is not None:
+            from ..parallel.distributed import make_global
+
+            return make_global(x, sharding)
+        return jnp.asarray(x)
 
     out = _eval_scan(model, params, fused_table, prep(tokens),
                      prep(log_mask), prep(target), prep(history))

