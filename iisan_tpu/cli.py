@@ -48,10 +48,15 @@ def parse_config(argv=None) -> IISANConfig:
 
 def main(argv=None) -> int:
     cfg = parse_config(argv)
+    from .parallel.distributed import initialize_runtime
     from .train.pipelines import run_from_config
     from .utils.compile_cache import enable_compilation_cache
 
     enable_compilation_cache()
+    initialize_runtime(
+        coordinator_address=cfg.dist_coordinator or None,
+        num_processes=cfg.dist_num_processes or None,
+        process_id=cfg.dist_process_id if cfg.dist_process_id >= 0 else None)
 
     if "train" in cfg.mode:
         run_from_config(cfg)

@@ -145,6 +145,12 @@ class IISANConfig:
     # Persist epoch checkpoints on new best / every 10th epoch, process 0
     # (the reference always saves in train mode, Code_Cached/run.py:402-405).
     save_checkpoints: bool = True
+    # Multi-host launch (torchrun/NCCL-init analog, run.py:479 +
+    # scripts/run_IISAN.py:68): one process per host passes its rank; empty
+    # coordinator = single-process / TPU auto-bootstrap.
+    dist_coordinator: str = ""
+    dist_num_processes: int = 0
+    dist_process_id: int = -1
     early_stop_patience: int = 10  # hard-coded `> 10` at Code_Cached/run.py:458
 
     # ------------------------------------------------------------------

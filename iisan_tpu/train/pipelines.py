@@ -140,6 +140,7 @@ def run_from_config(cfg: IISANConfig, eval_only: bool = False):
     result = trainer.train(start_epoch=start_epoch,
                            save_checkpoints=cfg.save_checkpoints) \
         if hasattr(trainer, "train") else None
-    tpme.record_run(time.time() - t0, trainer)
+    tpme.record_run(time.time() - t0, trainer, label=cfg.pipeline,
+                    result=result)
     log.info("TPME inputs: %s", tpme.summary())
     return trainer, result

@@ -141,7 +141,8 @@ class UncachedTrainer(TrainLoopMixin):
     def device_bench(self, n_steps: int = 10):
         """Device-bound throughput: n_steps train steps inside ONE jitted
         lax.scan on pre-staged data, blocked on completion, with XLA's own
-        FLOP count.  Returns (seconds_per_step, flops_per_step, users_per_sec).
+        FLOP count.  Returns a dict with seconds_per_step, flops_per_step,
+        users_per_sec and the executable's memory footprint.
 
         This is the honest measurement the extrapolated '31 ms/batch'
         number (round 1) was not: the scan leaves no async-dispatch gap to
@@ -200,7 +201,14 @@ class UncachedTrainer(TrainLoopMixin):
         jax.block_until_ready(out)
         dt = time.time() - t0
         sec_per_step = dt / n_steps
-        return sec_per_step, flops_per_step, bs / sec_per_step
+        from ..utils.tpme import compiled_memory_bytes
+
+        return {
+            "seconds_per_step": sec_per_step,
+            "flops_per_step": flops_per_step,
+            "users_per_sec": bs / sec_per_step,
+            "memory_bytes": compiled_memory_bytes(compiled),
+        }
 
     # ------------------------------------------------------------------
     def _batch_names(self, ids_flat: np.ndarray):

@@ -49,6 +49,21 @@ def trainable_param_count(trainer) -> int:
     return int(sum(x.size for x, m in zip(leaves, mleaves) if m))
 
 
+def compiled_memory_bytes(compiled) -> Optional[int]:
+    """Device-memory footprint of a compiled executable: arguments +
+    temporaries (activations) + outputs.  The fallback when the backend
+    exposes no live memory_stats (e.g. tunneled TPU) - and the analytic
+    analog of the reference's ``torch.cuda.max_memory_allocated``."""
+    try:
+        ma = compiled.memory_analysis()
+        if ma is None:
+            return None
+        return int(ma.argument_size_in_bytes + ma.temp_size_in_bytes
+                   + ma.output_size_in_bytes - ma.alias_size_in_bytes)
+    except Exception:  # pragma: no cover - backend without the analysis
+        return None
+
+
 @dataclass
 class RunRecord:
     label: str
@@ -61,17 +76,27 @@ class RunRecord:
 class TPMETracker:
     runs: List[RunRecord] = field(default_factory=list)
 
-    def record_run(self, total_seconds: float, trainer, label: str = "run"):
-        times = []
-        res = getattr(trainer, "_last_result", None)
-        epoch_s = total_seconds
-        if hasattr(trainer, "cfg") and getattr(trainer.cfg, "epoch", 0):
+    def record_run(self, total_seconds: float, trainer, label: str = "run",
+                   result=None, memory_bytes: Optional[int] = None):
+        """Capture one method's (t, p, m) triple.
+
+        Epoch time prefers the trainer's measured per-epoch train times
+        (eval/ETL excluded - the reference times the train loop alone,
+        utils.py:113-122); the total-wall / cfg.epoch quotient is only the
+        fallback when no result is available.
+        """
+        epoch_times = getattr(result, "epoch_times", None)
+        if epoch_times:
+            epoch_s = float(np.median(epoch_times))
+        elif hasattr(trainer, "cfg") and getattr(trainer.cfg, "epoch", 0):
             epoch_s = total_seconds / max(trainer.cfg.epoch, 1)
+        else:
+            epoch_s = total_seconds
         self.runs.append(RunRecord(
             label=label,
             epoch_seconds=epoch_s,
             trainable_params=trainable_param_count(trainer),
-            peak_memory_bytes=device_peak_memory_bytes(),
+            peak_memory_bytes=memory_bytes or device_peak_memory_bytes(),
         ))
 
     def summary(self) -> Dict:

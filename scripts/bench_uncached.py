@@ -50,7 +50,9 @@ def run_uncached_bench(n_users=512, batch_size=32, n_steps=10,
     tokens[1:, 30:] = 1
     tr = UncachedTrainer(cfg, corpus, tokens, SyntheticImageStore(224))
 
-    sec_per_step, flops_per_step, users_per_sec = tr.device_bench(n_steps)
+    b = tr.device_bench(n_steps)
+    sec_per_step, flops_per_step = b["seconds_per_step"], b["flops_per_step"]
+    users_per_sec = b["users_per_sec"]
     import jax
     kind = jax.devices()[0].device_kind
     peak = V5E_BF16_PEAK_FLOPS if "v5" in kind else None
@@ -61,6 +63,8 @@ def run_uncached_bench(n_users=512, batch_size=32, n_steps=10,
         "uncached_step_ms": round(sec_per_step * 1e3, 2),
         "uncached_tflops_per_step": round(flops_per_step / 1e12, 3),
         "uncached_mfu": round(mfu, 4) if mfu is not None else None,
+        "uncached_step_memory_mb": round(b["memory_bytes"] / 2**20, 1)
+        if b["memory_bytes"] else None,
         "device_kind": kind,
     }
     if measure_e2e:

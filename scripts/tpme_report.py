@@ -1,0 +1,57 @@
+"""TPME comparison across methods - the paper's efficiency table, shipped.
+
+Runs every method in its own subprocess (scripts/tpme_single.py), collects
+(t, p, m) per method, scores TPME with the paper weights alpha =
+(0.45, 0.10, 0.45) (README.md:91-96, figs/efficiency-metric.png), prints a
+table and writes TPME.json at the repo root.
+
+    python scripts/tpme_report.py [method ...]   # default: all six
+"""
+
+import json
+import subprocess
+import sys
+
+sys.path.insert(0, ".")
+
+METHODS = ["iisan_cached", "iisan_uncached", "fft", "lora", "houlsby",
+           "bitfit"]
+
+
+def main():
+    methods = sys.argv[1:] or METHODS
+    records = []
+    for m in methods:
+        print(f"measuring {m} ...", flush=True)
+        res = subprocess.run(
+            [sys.executable, "scripts/tpme_single.py", m],
+            capture_output=True, text=True)
+        if res.returncode != 0:
+            print(f"  FAILED: {res.stderr[-1500:]}", file=sys.stderr)
+            continue
+        rec = json.loads(res.stdout.strip().splitlines()[-1])
+        records.append(rec)
+        print(f"  epoch {rec['epoch_seconds']:.2f}s  "
+              f"params {rec['trainable_params']:,}  "
+              f"mem {rec['memory_bytes'] / 2**20:.0f} MiB", flush=True)
+
+    from iisan_tpu.utils.tpme import ALPHA, RunRecord, tpme_scores
+
+    runs = [RunRecord(r["label"], r["epoch_seconds"], r["trainable_params"],
+                      r["memory_bytes"]) for r in records]
+    scores = tpme_scores(runs)
+    print(f"\nTPME (alpha={ALPHA}; lower is better)")
+    print(f"{'method':<16}{'epoch_s':>10}{'params':>14}{'mem_MiB':>10}{'TPME':>8}")
+    for r in sorted(records, key=lambda r: scores[r["label"]]):
+        print(f"{r['label']:<16}{r['epoch_seconds']:>10.2f}"
+              f"{r['trainable_params']:>14,}"
+              f"{r['memory_bytes'] / 2**20:>10.0f}"
+              f"{scores[r['label']]:>8.3f}")
+    out = {"alpha": list(ALPHA), "records": records, "tpme": scores}
+    with open("TPME.json", "w") as f:
+        json.dump(out, f, indent=1)
+    print("\nwritten TPME.json")
+
+
+if __name__ == "__main__":
+    main()

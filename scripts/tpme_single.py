@@ -1,0 +1,115 @@
+"""Measure one method's TPME inputs (t, p, m) in an isolated process.
+
+Called per method by scripts/tpme_report.py so compile state and memory
+accounting never leak between methods.  Prints ONE json line:
+{label, epoch_seconds, trainable_params, memory_bytes, ...}.
+
+Timing is device-bound (jitted scan, blocked) and scaled to the Amazon
+Scientific epoch (12,076 users) at each method's reference batch size, so
+the numbers compare the way the paper's Table does (README.md:91-96);
+memory is the compiled train executable's footprint (arguments +
+activations + outputs), the analytic analog of torch.cuda
+max_memory_allocated.
+
+    python scripts/tpme_single.py iisan_cached|iisan_uncached|fft|lora|houlsby|bitfit
+"""
+
+import json
+import sys
+import time
+
+sys.path.insert(0, ".")
+
+import numpy as np
+
+SCIENTIFIC_USERS = 12076  # Dataset/Scientific scale (BASELINE.md)
+
+
+def measure_cached():
+    from iisan_tpu.config import IISANConfig
+    from iisan_tpu.data.synthetic import synthetic_corpus, synthetic_taps
+    from iisan_tpu.train.cached import CachedTrainer
+    from iisan_tpu.utils.tpme import compiled_memory_bytes, trainable_param_count
+
+    cfg = IISANConfig(batch_size=64, epoch=1, embedding_dim=64, seed=12345)
+    corpus = synthetic_corpus(n_users=SCIENTIFIC_USERS, item_num=20825, seed=0)
+    k = len(cfg.san_image_taps())
+    tr = CachedTrainer(cfg, corpus, synthetic_taps(20825, k, 768, seed=1),
+                       synthetic_taps(20825, k, 768, seed=2))
+    import jax
+
+    perm = tr._put(tr.epoch_permutation(0), tr._perm_sh)
+    tables = (tr.cv_table, tr.text_table, tr.train_seqs,
+              tr.train_log_mask, tr.pop_prob)
+    compiled = tr._epoch_fn.lower(tr.params, tr.opt_state, tr.rng, perm,
+                                  tables).compile()
+    mem = compiled_memory_bytes(compiled)
+    tr.run_epoch(0)  # warm
+    times = []
+    for ep in range(1, 4):
+        t0 = time.time()
+        tr.run_epoch(ep)
+        jax.block_until_ready(tr.params)
+        times.append(time.time() - t0)
+    return {
+        "label": "iisan_cached",
+        "epoch_seconds": float(np.median(times)),
+        "trainable_params": trainable_param_count(tr),
+        "memory_bytes": mem,
+        "batch_size": cfg.batch_size,
+    }
+
+
+def measure_uncached(method: str):
+    from iisan_tpu.config import IISANConfig
+    from iisan_tpu.data.images import SyntheticImageStore
+    from iisan_tpu.data.synthetic import synthetic_corpus
+    from iisan_tpu.train.uncached import UncachedTrainer
+    from iisan_tpu.utils.tpme import trainable_param_count
+
+    # Reference method configs (scripts/run_{IISAN,fft,lora,adapter,bitfit}.py)
+    overrides = {
+        "iisan_uncached": dict(adapter_type="IISAN", adding_adapter_to="all"),
+        "fft": dict(adapter_type="fft", adding_adapter_to="None",
+                    fine_tune_to="all"),
+        "lora": dict(adapter_type="lora", adding_adapter_to="all",
+                     bert_adapter_down_size=8, cv_adapter_down_size=8),
+        "houlsby": dict(adapter_type="houslby", adding_adapter_to="all",
+                        bert_adapter_down_size=64, cv_adapter_down_size=64),
+        "bitfit": dict(adapter_type="bitfit", adding_adapter_to="all"),
+    }[method]
+    cfg = IISANConfig(pipeline="uncached", batch_size=32, epoch=1,
+                      embedding_dim=64, seed=12345,
+                      side_adapter_vit_list="1,3,5,7,9,11",
+                      side_adapter_bert_list="1,3,5,7,9,11", **overrides)
+    corpus = synthetic_corpus(n_users=256, item_num=600, seed=0)
+    rng = np.random.default_rng(0)
+    tokens = np.zeros((corpus.item_num + 1, 60), np.int32)
+    tokens[1:, :30] = rng.integers(1, 30000, size=(corpus.item_num, 30))
+    tokens[1:, 30:] = 1
+    tr = UncachedTrainer(cfg, corpus, tokens, SyntheticImageStore(224))
+    b = tr.device_bench(n_steps=8)
+    steps_per_epoch = -(-SCIENTIFIC_USERS // cfg.batch_size)
+    return {
+        "label": method,
+        "epoch_seconds": b["seconds_per_step"] * steps_per_epoch,
+        "trainable_params": trainable_param_count(tr),
+        "memory_bytes": b["memory_bytes"],
+        "batch_size": cfg.batch_size,
+        "step_seconds": b["seconds_per_step"],
+        "tflops_per_step": b["flops_per_step"] / 1e12,
+    }
+
+
+def main():
+    from iisan_tpu.utils.compile_cache import enable_compilation_cache
+
+    enable_compilation_cache()
+    method = sys.argv[1]
+    rec = measure_cached() if method == "iisan_cached" \
+        else measure_uncached(method)
+    print(json.dumps(rec))
+
+
+if __name__ == "__main__":
+    main()
