@@ -62,12 +62,23 @@ def main():
         trainer.run_epoch(ep)
         times.append(time.time() - t0)
     epoch_s = float(np.median(times))
-    print(json.dumps({
+    out = {
         "metric": "cached_epoch_seconds_scientific",
         "value": round(epoch_s, 4),
         "unit": "s",
         "vs_baseline": round(BASELINE_EPOCH_S / epoch_s, 2),
-    }))
+    }
+    # Secondary (driver-readable) metrics on the same line: the honest
+    # device-bound uncached numbers (VERDICT r1 next #4) - users/s from a
+    # blocked jitted scan + MFU from the executable's own FLOP count.
+    try:
+        sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+        from scripts.bench_uncached import run_uncached_bench
+
+        out.update(run_uncached_bench(measure_e2e=False))
+    except Exception as e:  # never break the primary metric
+        out["uncached_error"] = f"{type(e).__name__}: {e}"[:200]
+    print(json.dumps(out))
 
 
 if __name__ == "__main__":

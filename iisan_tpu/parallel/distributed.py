@@ -53,6 +53,27 @@ def make_global(arr: np.ndarray, sharding) -> jax.Array:
                                         lambda idx: arr[idx])
 
 
+def put_global(x, sharding) -> jax.Array:
+    """device_put in single-process mode; make_global on multi-process
+    meshes (where device_put cannot address remote devices)."""
+    if jax.process_count() > 1:
+        return make_global(np.asarray(x), sharding)
+    return jax.device_put(x, sharding)
+
+
+def owned_rows(sharding, global_shape) -> np.ndarray:
+    """Global row indices (axis 0) whose shards live on THIS process's
+    devices.  The host input pipeline (image decode) produces only these -
+    the work-partitioning half of the DistributedSampler analog
+    (Code_Uncached/run.py:146)."""
+    rows = set()
+    for sl in sharding.addressable_devices_indices_map(
+            tuple(global_shape)).values():
+        r = sl[0] if sl else slice(None)
+        rows.update(range(*r.indices(global_shape[0])))
+    return np.asarray(sorted(rows), dtype=np.int64)
+
+
 def replicate_global(tree, mesh):
     """Replicate a host pytree across every device of a (possibly
     multi-process) mesh.  All processes must pass identical values (they do:

@@ -76,7 +76,12 @@ class UncachedTrainer(TrainLoopMixin):
 
     def __init__(self, cfg: IISANConfig, corpus: Corpus,
                  token_table: np.ndarray, image_store,
-                 tower_params: Optional[Dict] = None):
+                 tower_params: Optional[Dict] = None, mesh=None):
+        from jax.sharding import NamedSharding, PartitionSpec as P
+
+        from ..parallel.distributed import put_global
+        from ..parallel.mesh import make_mesh
+
         self.cfg = cfg
         self.corpus = corpus
         self.token_table = token_table  # (item_num+1, 2*num_words) int32
@@ -84,7 +89,18 @@ class UncachedTrainer(TrainLoopMixin):
         self.loader = ParallelImageLoader(image_store,
                                           num_threads=max(cfg.num_workers, 4))
         self.model, self.method = build_uncached_model(cfg)
-        self.pop_prob = jax.device_put(corpus.pop_prob)
+
+        # Data-parallel layout (DDP analog, run.py:287): params replicated,
+        # per-batch arrays sharded on their leading (user / item) axis over
+        # the mesh's data axis; XLA inserts the grad psum.  Falls back to
+        # replication when the batch does not divide the axis.
+        self.mesh = mesh or make_mesh(cfg.mesh_shape)
+        n_data = self.mesh.shape.get("data", 1)
+        self._repl = NamedSharding(self.mesh, P())
+        row = P("data") if cfg.batch_size % n_data == 0 else P()
+        self._row_sh = NamedSharding(self.mesh, row)
+        self._put = put_global
+        self.pop_prob = put_global(corpus.pop_prob, self._repl)
 
         rng = jax.random.PRNGKey(cfg.seed)
         self.rng, init_rng = jax.random.split(rng)
@@ -105,7 +121,11 @@ class UncachedTrainer(TrainLoopMixin):
         self.mask = trainable_mask(self.params, self.method)
         self.tx = build_optimizer(cfg, self.params, trainable_mask=self.mask)
         log_group_sizes(cfg, self.params, self.mask)
-        self.opt_state = self.tx.init(self.params)
+        self.params = jax.tree_util.tree_map(
+            lambda x: self._put(x, self._repl), self.params)
+        self.opt_state = jax.tree_util.tree_map(
+            lambda x: self._put(x, self._repl), self.tx.init(self.params))
+        self.rng = self._put(np.asarray(self.rng), self._repl)
         self._step = self._build_step()
         n_train = sum(
             x.size
@@ -155,13 +175,14 @@ class UncachedTrainer(TrainLoopMixin):
 
         cfg, c = self.cfg, self.corpus
         bs, L = cfg.batch_size, cfg.max_seq_len
-        ids = jnp.asarray(c.train_seqs[:bs])
-        mask = jnp.asarray(c.train_log_mask[:bs])
+        ids = self._put(c.train_seqs[:bs], self._row_sh)
+        mask = self._put(c.train_log_mask[:bs], self._row_sh)
         flat = c.train_seqs[:bs].reshape(-1)
-        tokens = jnp.asarray(self.token_table[flat])
+        tokens = self._put(self.token_table[flat], self._row_sh)
         rng_np = np.random.default_rng(0)
-        images_u8 = jnp.asarray(rng_np.integers(
-            0, 256, (bs * (L + 1), cfg.CV_resize, cfg.CV_resize, 3), np.uint8))
+        images_u8 = self._put(rng_np.integers(
+            0, 256, (bs * (L + 1), cfg.CV_resize, cfg.CV_resize, 3), np.uint8),
+            self._row_sh)
         dtype = jnp.dtype(cfg.compute_dtype)
         model, tx, pop = self.model, self.tx, self.pop_prob
 
@@ -217,25 +238,44 @@ class UncachedTrainer(TrainLoopMixin):
         names = self.corpus.item_names
         return [names[i] if i > 0 else None for i in ids_flat]
 
+    def _owned_image_iter(self, flat_batches, shape):
+        """Decode only the rows whose shards live on this process (the
+        work-partitioning half of DistributedSampler, run.py:146), zero-fill
+        the rest of the host buffer (never uploaded - make_global reads only
+        addressable index slices)."""
+        from ..parallel.distributed import owned_rows
+
+        owned = owned_rows(self._row_sh, shape)
+        name_batches = [self._batch_names(fb[owned]) for fb in flat_batches]
+        full = len(owned) == shape[0]
+        for imgs in self.loader.iter_batches(name_batches):
+            if full:
+                yield imgs
+            else:
+                buf = np.zeros(shape, np.uint8)
+                buf[owned] = imgs
+                yield buf
+
     def run_epoch(self, epoch: int) -> float:
         cfg, c = self.cfg, self.corpus
-        bs = cfg.batch_size
+        bs, L = cfg.batch_size, cfg.max_seq_len
         rng = np.random.default_rng(cfg.seed + epoch)
         perm = rng.permutation(c.n_users)
         n_pad = ((c.n_users + bs - 1) // bs) * bs
         perm = np.resize(perm, n_pad).reshape(-1, bs)
 
         batches = [c.train_seqs[p].reshape(-1) for p in perm]
-        name_batches = [self._batch_names(b) for b in batches]
+        img_shape = (bs * (L + 1), cfg.CV_resize, cfg.CV_resize, 3)
         losses = []
-        img_iter = self.loader.iter_batches(name_batches)
+        img_iter = self._owned_image_iter(batches, img_shape)
         for p, flat_ids, images in zip(perm, batches, img_iter):
-            ids = jnp.asarray(c.train_seqs[p])
-            mask = jnp.asarray(c.train_log_mask[p])
-            tokens = jnp.asarray(self.token_table[flat_ids])
+            ids = self._put(c.train_seqs[p], self._row_sh)
+            mask = self._put(c.train_log_mask[p], self._row_sh)
+            tokens = self._put(self.token_table[flat_ids], self._row_sh)
+            images = self._put(images, self._row_sh)
             self.params, self.opt_state, self.rng, loss = self._step(
                 self.params, self.opt_state, self.rng, ids,
-                jnp.asarray(images), tokens, mask, self.pop_prob)
+                images, tokens, mask, self.pop_prob)
             losses.append(loss)
         return float(jnp.mean(jnp.stack(losses)))
 
@@ -263,9 +303,9 @@ class UncachedTrainer(TrainLoopMixin):
                 # reference feeds literal zeros post-norm, dataset.py:233 -
                 # value difference only touches the never-ranked pad column)
                 images[0] = 0
-            tokens = jnp.asarray(self.token_table[ids])
+            tokens = self._put(self.token_table[ids], self._repl)
             outs.append(emb(self.model, self.params,
-                            jnp.asarray(images), tokens)[: e - s])
+                            self._put(images, self._repl), tokens)[: e - s])
         return jnp.concatenate(outs, axis=0)
 
     def gate_values(self) -> Dict[str, np.ndarray]:
@@ -291,7 +331,7 @@ class UncachedTrainer(TrainLoopMixin):
             args = (c.test_tokens, c.test_log_mask, c.test_target,
                     c.test_history)
         return evaluate(self.model, self.params, table, *args,
-                        batch_size=batch_size)
+                        batch_size=batch_size, mesh=self.mesh)
 
 
 @functools.partial(jax.jit, static_argnums=0)

@@ -78,27 +78,44 @@ def measure_uncached(method: str):
                         bert_adapter_down_size=64, cv_adapter_down_size=64),
         "bitfit": dict(adapter_type="bitfit", adding_adapter_to="all"),
     }[method]
-    cfg = IISANConfig(pipeline="uncached", batch_size=32, epoch=1,
-                      embedding_dim=64, seed=12345,
-                      side_adapter_vit_list="1,3,5,7,9,11",
-                      side_adapter_bert_list="1,3,5,7,9,11", **overrides)
     corpus = synthetic_corpus(n_users=256, item_num=600, seed=0)
     rng = np.random.default_rng(0)
     tokens = np.zeros((corpus.item_num + 1, 60), np.int32)
     tokens[1:, :30] = rng.integers(1, 30000, size=(corpus.item_num, 30))
     tokens[1:, 30:] = 1
-    tr = UncachedTrainer(cfg, corpus, tokens, SyntheticImageStore(224))
-    b = tr.device_bench(n_steps=8)
-    steps_per_epoch = -(-SCIENTIFIC_USERS // cfg.batch_size)
-    return {
-        "label": method,
-        "epoch_seconds": b["seconds_per_step"] * steps_per_epoch,
-        "trainable_params": trainable_param_count(tr),
-        "memory_bytes": b["memory_bytes"],
-        "batch_size": cfg.batch_size,
-        "step_seconds": b["seconds_per_step"],
-        "tflops_per_step": b["flops_per_step"] / 1e12,
-    }
+
+    # Tower-backward methods can exceed one v5e's 16 GB at the reference
+    # batch size (the reference used a 47 GB A100 for FFT, README.md:35);
+    # jax.checkpoint on the tower layers is the TPU-native fix - retry with
+    # rematerialization on OOM and record which mode ran.
+    last_err = None
+    for remat in (False, True):
+        cfg = IISANConfig(pipeline="uncached", batch_size=32, epoch=1,
+                          embedding_dim=64, seed=12345,
+                          side_adapter_vit_list="1,3,5,7,9,11",
+                          side_adapter_bert_list="1,3,5,7,9,11",
+                          remat_towers=remat, **overrides)
+        tr = UncachedTrainer(cfg, corpus, tokens, SyntheticImageStore(224))
+        try:
+            b = tr.device_bench(n_steps=8)
+        except Exception as e:  # jax.errors.JaxRuntimeError: RESOURCE_EXHAUSTED
+            if "RESOURCE_EXHAUSTED" not in str(e) or remat:
+                raise
+            last_err = e
+            del tr
+            continue
+        steps_per_epoch = -(-SCIENTIFIC_USERS // cfg.batch_size)
+        return {
+            "label": method,
+            "epoch_seconds": b["seconds_per_step"] * steps_per_epoch,
+            "trainable_params": trainable_param_count(tr),
+            "memory_bytes": b["memory_bytes"],
+            "batch_size": cfg.batch_size,
+            "step_seconds": b["seconds_per_step"],
+            "tflops_per_step": b["flops_per_step"] / 1e12,
+            "remat_towers": remat,
+        }
+    raise last_err
 
 
 def main():

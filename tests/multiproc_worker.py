@@ -40,7 +40,38 @@ def main():
     assert jax.process_count() == 2 and tr.mesh.devices.size == 2
     loss = tr.run_epoch(1)
     hit, ndcg = tr.evaluate_split("valid")
-    print(json.dumps({"rank": rank, "loss": loss, "hit": hit, "ndcg": ndcg}),
+
+    # Uncached: per-host image decode must cover only this host's shard.
+    import numpy as np
+
+    from iisan_tpu.data.images import SyntheticImageStore
+    from iisan_tpu.train.uncached import UncachedTrainer
+
+    class CountingStore(SyntheticImageStore):
+        def __init__(self, resize):
+            super().__init__(resize)
+            self.calls = 0
+
+        def get(self, name):
+            self.calls += 1
+            return super().get(name)
+
+    ucfg = cfg.replace(pipeline="uncached", adapter_type="IISAN",
+                       adding_adapter_to="all", CV_resize=32,
+                       num_words_title=4, text_layers=2, image_layers=2,
+                       side_adapter_vit_list="1", side_adapter_bert_list="1")
+    rng = np.random.default_rng(0)
+    tokens = np.zeros((corpus.item_num + 1, 8), np.int32)
+    tokens[1:, :4] = rng.integers(1, 100, size=(corpus.item_num, 4))
+    tokens[1:, 4:] = 1
+    store = CountingStore(32)
+    utr = UncachedTrainer(ucfg, corpus, tokens, store)
+    uloss = utr.run_epoch(1)
+    # 64 users -> 8 batches x 8 users x 11 items = 704 rows; each host
+    # decodes only non-pad rows of its half.
+    decode_frac = store.calls / 704.0
+    print(json.dumps({"rank": rank, "loss": loss, "hit": hit, "ndcg": ndcg,
+                      "uloss": uloss, "decode_frac": decode_frac}),
           flush=True)
 
 

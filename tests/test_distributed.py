@@ -73,3 +73,12 @@ def test_two_process_cached_training(tmp_path):
     np.testing.assert_allclose(r0["loss"], r1["loss"], rtol=1e-5)
     np.testing.assert_allclose(r0["hit"], r1["hit"], rtol=1e-6)
     np.testing.assert_allclose(r0["ndcg"], r1["ndcg"], rtol=1e-6)
+    # uncached: identical replicated loss; each host decoded only ~its half
+    # of the images (per-host input sharding, run.py:146 analog)
+    assert np.isfinite(r0["uloss"])
+    np.testing.assert_allclose(r0["uloss"], r1["uloss"], rtol=1e-5)
+    # each host decodes < half the rows (pads are skipped entirely), and
+    # the split is balanced
+    assert r0["decode_frac"] < 0.5 and r1["decode_frac"] < 0.5
+    assert abs(r0["decode_frac"] - r1["decode_frac"]) < 0.1
+    assert 0.2 < r0["decode_frac"] + r1["decode_frac"] <= 1.0
