@@ -109,17 +109,38 @@ class LmdbImageStore:
 
 
 class DirImageStore:
-    """Directory of ``{name}.jpg`` files - the LMDB-free path."""
+    """Directory of ``{name}.jpg`` files - the LMDB-free path.
 
-    def __init__(self, root: str, resize: int = 224, ext: str = ".jpg"):
+    JPEG decode goes through the native C++ library when built
+    (native/fastimage.cc: libjpeg with DCT-domain downscale fused into
+    decode + bilinear remainder; the ctypes call releases the GIL so the
+    loader's prefetch threads truly overlap); PIL is the fallback and the
+    path for non-JPEG files.
+    """
+
+    def __init__(self, root: str, resize: int = 224, ext: str = ".jpg",
+                 use_native: bool = True):
+        from . import fastimage
+
         self.root = root
         self.resize = resize
         self.ext = ext
+        self._native = use_native and ext.lower() in (".jpg", ".jpeg") \
+            and fastimage.available()
 
     def get(self, name: str) -> np.ndarray:
+        path = os.path.join(self.root, name + self.ext)
+        if self._native:
+            from . import fastimage
+
+            with open(path, "rb") as f:
+                out = fastimage.decode_resize_batch([f.read()], self.resize,
+                                                    n_threads=1)[0]
+            if out.any():
+                return out
+            # undecodable via libjpeg (e.g. mislabeled PNG) -> PIL fallback
         from PIL import Image
 
-        path = os.path.join(self.root, name + self.ext)
         im = Image.open(path)
         return _resize_u8(np.asarray(im.convert("RGB")), self.resize)
 

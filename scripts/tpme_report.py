@@ -28,11 +28,15 @@ def main():
             capture_output=True, text=True)
         if res.returncode != 0 and "RESOURCE_EXHAUSTED" in res.stderr:
             # Doesn't fit one v5e at reference batch size -> retry with
-            # tower rematerialization in a fresh process.
-            print("  OOM - retrying with remat_towers", flush=True)
-            res = subprocess.run(
-                [sys.executable, "scripts/tpme_single.py", m, "--remat"],
-                capture_output=True, text=True)
+            # tower rematerialization in a fresh process.  One extra
+            # attempt tolerates transient tunnel/compile-service flakes.
+            for attempt in range(2):
+                print("  OOM - retrying with remat_towers", flush=True)
+                res = subprocess.run(
+                    [sys.executable, "scripts/tpme_single.py", m, "--remat"],
+                    capture_output=True, text=True)
+                if res.returncode == 0 or "RESOURCE_EXHAUSTED" in res.stderr:
+                    break
         if res.returncode != 0:
             print(f"  FAILED: {res.stderr[-1500:]}", file=sys.stderr)
             continue

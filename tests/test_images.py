@@ -85,3 +85,65 @@ def test_uncached_batch_names_pad_is_none():
     names = UncachedTrainer._batch_names(
         type("T", (), {"corpus": C})(), np.array([0, 2, 0, 1]))
     assert names == [None, "b", None, "a"]
+
+
+class TestNativeFastimage:
+    """Native C++ JPEG decode path (native/fastimage.cc via ctypes)."""
+
+    @pytest.fixture(autouse=True)
+    def _need_native(self):
+        from iisan_tpu.data import fastimage
+
+        if not fastimage.available():
+            pytest.skip("native fastimage not buildable here")
+
+    def _blob(self, arr, quality=95):
+        import io
+
+        from PIL import Image
+
+        buf = io.BytesIO()
+        Image.fromarray(arr).save(buf, format="JPEG", quality=quality)
+        return buf.getvalue()
+
+    def test_decode_matches_pil_on_smooth_image(self):
+        import io
+
+        from PIL import Image
+
+        from iisan_tpu.data import fastimage
+
+        x = np.linspace(0, 255, 300).astype(np.uint8)
+        img = np.stack([np.tile(x, (200, 1))] * 3, axis=-1)
+        blob = self._blob(img)
+        out = fastimage.decode_resize(blob, 64)
+        pil = np.asarray(Image.open(io.BytesIO(blob)).convert("RGB")
+                         .resize((64, 64), Image.BILINEAR))
+        assert out.shape == (64, 64, 3) and out.dtype == np.uint8
+        assert np.abs(out.astype(int) - pil.astype(int)).mean() < 2.0
+
+    def test_batch_pad_and_bad_blobs_zero_filled(self):
+        from iisan_tpu.data import fastimage
+
+        rng = np.random.default_rng(0)
+        blob = self._blob(rng.integers(0, 255, (40, 30, 3)).astype(np.uint8))
+        out = fastimage.decode_resize_batch([blob, None, b"junk", blob], 16)
+        assert out.shape == (4, 16, 16, 3)
+        assert out[1].max() == 0 and out[2].max() == 0
+        np.testing.assert_array_equal(out[0], out[3])
+        assert out[0].any()
+
+    def test_dir_store_uses_native_and_matches_pil_fallback(self, tmp_path):
+        # smooth image: on noise the two resamplers legitimately diverge
+        # (PIL downscale is antialiased, ours is DCT-downscale + bilinear)
+        g = np.linspace(0, 255, 80).astype(np.uint8)
+        arr = np.stack([np.tile(g, (100, 1))] * 3, axis=-1)
+        with open(tmp_path / "it.jpg", "wb") as f:
+            f.write(self._blob(arr))
+        fast = DirImageStore(str(tmp_path), resize=32, use_native=True)
+        slow = DirImageStore(str(tmp_path), resize=32, use_native=False)
+        assert fast._native
+        a, b = fast.get("it"), slow.get("it")
+        assert a.shape == b.shape == (32, 32, 3)
+        # decoders agree closely (different bilinear taps round differently)
+        assert np.abs(a.astype(int) - b.astype(int)).mean() < 6.0
