@@ -133,13 +133,28 @@ def _cascade_kernel_streamed(gates_ref, taps_ref, wd_ref, bd_ref, wu_ref,
         out_ref[:] = c.astype(dtype)
 
 
+def streamed_tile_rows(d: int, r: int, budget_bytes: int = 14 * 2**20) -> int:
+    """Row-tile for the step-streamed kernel under the VMEM budget.
+
+    Per tile row: taps + c0 + out (bf16, double-buffered) + the fp32 carry
+    scratch = 16*d bytes.  One step's weights, double-buffered: ~8*d*r.
+    Returns 0 when even the per-step weights blow the budget (dispatch
+    falls back to the XLA cascade then).
+    """
+    weights = 2 * ((d * r + r * d) * 2 + (r + d) * 2)
+    per_row = 16 * d
+    avail = budget_bytes - weights
+    if avail < per_row * 8:
+        return 0
+    return min(avail // per_row // 8 * 8, 512)
+
+
 def _fused_cascade_streamed_impl(gates, taps, wd, bd, wu, bu, c0,
                                  activation: str, interpret: bool,
                                  gated: bool = True):
     n, k, d = taps.shape
     r = wd.shape[-1]
-    # Row tile sized for wide D: ~6 VMEM-resident (T, D) buffers.
-    tile = min(_round_up(max(n, 8), 8), max(8, (2 ** 21) // (d * 2) // 8 * 8))
+    tile = min(_round_up(max(n, 8), 8), streamed_tile_rows(d, r))
     n_pad = _round_up(n, tile)
     if n_pad != n:
         taps = jnp.pad(taps, ((0, n_pad - n), (0, 0), (0, 0)))
@@ -233,7 +248,7 @@ def _dispatch_fwd(gates, taps, wd, bd, wu, bu, c0, activation, interpret,
     r = wd.shape[-1]
     if fits_vmem(k, d, r):
         impl = _fused_cascade_fwd_impl
-    elif taps.dtype == jnp.float32:
+    elif taps.dtype == jnp.float32 or streamed_tile_rows(d, r) == 0:
         # The streamed wide-D kernel is bf16-only: its dots cannot lower at
         # Precision.HIGHEST, so fp32 inputs would silently degrade to ~1e-2
         # relative agreement at D=8192.  fp32 wide-D goes through the XLA
