@@ -132,14 +132,22 @@ class IISANConfig:
     mesh_shape: str = ""  # e.g. "data:8"; empty = all local devices on 1 axis
     cache_format: str = "memmap"  # sharded array cache vs reference .pt files
     # Fused Pallas SAN-cascade kernel (ops/fused_san.py).  Off by default:
-    # measured on v5e at BERT/ViT-base geometry the XLA-fused scan is
-    # faster (0.126 s vs 0.176 s Scientific epoch) because XLA pipelines
-    # the tiny cascade matmuls across scan steps better than the
-    # single-kernel grid; kept as an option and for future D-tiled work.
+    # measured on v5e (fwd+bwd, bf16, scripts/bench_pallas.py, r2):
+    #   base    K7 D768  R64  N704: XLA 1.10 ms vs pallas 1.19 ms (0.92x)
+    #   versa   K7 D8192 R64  N704: XLA 1.89 ms vs pallas 2.82 ms (0.67x)
+    #   versa-R K7 D8192 R128 N704: XLA 2.52 ms vs pallas 3.47 ms (0.73x)
+    # XLA pipelines the cascade's tiny matmuls across scan steps better
+    # than the single-kernel grid at every shipped geometry, including the
+    # Versa 8192-dim ones the streamed kernel targets - so the default
+    # stays off at all geometries; the kernels remain correct (tested,
+    # custom VJP) as an option and a base for future fusion work.
     use_pallas: bool = False
     # Rematerialize tower layers in the uncached backward pass
     # (jax.checkpoint): trades recompute FLOPs for HBM headroom.
     remat_towers: bool = False
+    # lax.scan unroll factor for the cached epoch loop: >1 lets XLA overlap
+    # the per-step gathers/updates across steps at the cost of compile time.
+    epoch_scan_unroll: int = 1
     log_dir: str = "./logs"
     ckpt_dir: str = "./checkpoints"
     # Persist epoch checkpoints on new best / every 10th epoch, process 0

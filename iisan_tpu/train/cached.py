@@ -149,12 +149,15 @@ class CachedTrainer(TrainLoopMixin):
             params = jax.tree_util.tree_map(lambda p, u: p + u, params, updates)
             return (params, opt_state, rng, loss_sum + loss), loss
 
+        unroll = max(self.cfg.epoch_scan_unroll, 1)
+
         @functools.partial(jax.jit, donate_argnums=(0, 1))
         def epoch_fn(params, opt_state, rng, perm, tables):
             # perm: (steps, batch) shuffled user indices.
             (params, opt_state, rng, loss_sum), losses = jax.lax.scan(
                 functools.partial(step, tables),
-                (params, opt_state, rng, jnp.float32(0.0)), perm)
+                (params, opt_state, rng, jnp.float32(0.0)), perm,
+                unroll=unroll)
             return params, opt_state, rng, loss_sum / perm.shape[0], losses
 
         return epoch_fn

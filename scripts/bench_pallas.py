@@ -55,7 +55,9 @@ def main():
         ("base (K7 D768 R64, N=704)", 704, 7, 768, 64),
         ("versa (K7 D8192 R64, N=704)", 704, 7, 8192, 64),
         ("versa-wide-R (K7 D8192 R128, N=704)", 704, 7, 8192, 128),
-        ("versa-eval (K7 D8192 R64, N=8192)", 8192, 7, 8192, 64),
+        # N=2048 stands in for the catalog-scale eval pass; N=8192 grad
+        # compiles take tens of minutes over the tunnel.
+        ("versa-eval (K7 D8192 R64, N=2048)", 2048, 7, 8192, 64),
     ]
     report = {}
     for label, n, k, d, r in geoms:
