@@ -134,15 +134,18 @@ class CachedTrainer(TrainLoopMixin):
         # Tables/corpus arrays are explicit jit arguments (not closure
         # constants) so they are NOT baked into the compiled program -
         # important when the tap tables are hundreds of MB.
-        def step(tables, carry, user_idx):
-            cv_table, text_table, seqs, log_mask, pop_prob = tables
+        # The hidden-state gathers use mode="clip": item ids are dense in
+        # [0, item_num] by construction (preprocess.py re-densification), so
+        # XLA's default out-of-bounds fill (a compare + select over the full
+        # 2x(704,K,768) gather output, ~8 us/step on v5e) is pure waste.
+        def step(tables, carry, batch):
+            cv_table, text_table, pop_prob = tables
+            ids, mask = batch
             params, opt_state, rng, loss_sum = carry
             rng, dropout_rng = jax.random.split(rng)
-            ids = jnp.take(seqs, user_idx, axis=0)
-            mask = jnp.take(log_mask, user_idx, axis=0)
             flat = ids.reshape(-1)
-            cv = jnp.take(cv_table, flat, axis=0)
-            text = jnp.take(text_table, flat, axis=0)
+            cv = jnp.take(cv_table, flat, axis=0, mode="clip")
+            text = jnp.take(text_table, flat, axis=0, mode="clip")
             loss, grads = jax.value_and_grad(loss_fn)(
                 params, cv, text, ids, mask, pop_prob, dropout_rng)
             updates, opt_state = tx.update(grads, opt_state, params)
@@ -153,10 +156,18 @@ class CachedTrainer(TrainLoopMixin):
 
         @functools.partial(jax.jit, donate_argnums=(0, 1))
         def epoch_fn(params, opt_state, rng, perm, tables):
-            # perm: (steps, batch) shuffled user indices.
+            # perm: (steps, batch) shuffled user indices.  The per-step
+            # (batch, L+1) id / (batch, L) mask gathers are hoisted out of
+            # the scan into one whole-epoch gather (~1 MB resident): inside
+            # the scan each tiny gather still costs ~10 us of fixed op
+            # latency on TPU; as scan xs they cost two ops per *epoch*.
+            cv_table, text_table, seqs, log_mask, pop_prob = tables
+            ids_all = jnp.take(seqs, perm, axis=0, mode="clip")
+            mask_all = jnp.take(log_mask, perm, axis=0, mode="clip")
             (params, opt_state, rng, loss_sum), losses = jax.lax.scan(
-                functools.partial(step, tables),
-                (params, opt_state, rng, jnp.float32(0.0)), perm,
+                functools.partial(step, (cv_table, text_table, pop_prob)),
+                (params, opt_state, rng, jnp.float32(0.0)),
+                (ids_all, mask_all),
                 unroll=unroll)
             return params, opt_state, rng, loss_sum / perm.shape[0], losses
 
