@@ -148,6 +148,13 @@ class IISANConfig:
     # lax.scan unroll factor for the cached epoch loop: >1 lets XLA overlap
     # the per-step gathers/updates across steps at the cost of compile time.
     epoch_scan_unroll: int = 1
+    # Fused Pallas SASRec user-encoder kernels (ops/fused_user_encoder.py).
+    # True = auto (kernel on TPU for supported shapes, module path elsewhere);
+    # False = always the module path.  Unlike the SAN cascade (where XLA
+    # wins, see use_pallas above), the user tower is tiny-shape op soup
+    # where one kernel per direction beats ~200 XLA ops - see the measured
+    # numbers in ops/fused_user_encoder.py.
+    fused_user_encoder: bool = True
     log_dir: str = "./logs"
     ckpt_dir: str = "./checkpoints"
     # Persist epoch checkpoints on new best / every 10th epoch, process 0

@@ -60,6 +60,7 @@ class IISANRecModel(nn.Module):
     drop_rate: float
     modality: str = "intra_inter"
     dtype: Optional[Any] = None
+    fused_user_encoder: Optional[bool] = None  # None=auto (TPU), False=off
 
     def setup(self):
         self.user_encoder = UserEncoder(
@@ -68,6 +69,7 @@ class IISANRecModel(nn.Module):
             n_layers=self.transformer_block,
             dropout=self.drop_rate,
             dtype=self.dtype,
+            fused=self.fused_user_encoder,
         )
         self.fuse = ComDense(self.embedding_dim, self.modality, dtype=self.dtype)
 
@@ -120,6 +122,7 @@ class IDRecModel(nn.Module):
     transformer_block: int
     drop_rate: float
     dtype: Optional[Any] = None
+    fused_user_encoder: Optional[bool] = None
 
     def setup(self):
         self.id_embedding = nn.Embed(
@@ -133,6 +136,7 @@ class IDRecModel(nn.Module):
             n_layers=self.transformer_block,
             dropout=self.drop_rate,
             dtype=self.dtype,
+            fused=self.fused_user_encoder,
         )
 
     def item_table(self):
@@ -165,4 +169,6 @@ def rec_model_from_config(cfg) -> IISANRecModel:
         drop_rate=cfg.drop_rate,
         modality=cfg.modality,
         dtype=jnp.dtype(cfg.compute_dtype),
+        fused_user_encoder=None if getattr(cfg, "fused_user_encoder", True)
+        else False,
     )

@@ -94,6 +94,7 @@ class UncachedIISANModel(nn.Module):
     modality: str = "intra_inter"
     freeze_towers: bool = True
     dtype: Optional[Any] = None
+    fused_user_encoder: Optional[bool] = None
 
     def setup(self):
         self.user_encoder = UserEncoder(
@@ -102,6 +103,7 @@ class UncachedIISANModel(nn.Module):
             n_layers=self.transformer_block,
             dropout=self.drop_rate,
             dtype=self.dtype,
+            fused=self.fused_user_encoder,
         )
         self.fuse = ComDense(self.embedding_dim, self.modality, dtype=self.dtype)
 
@@ -156,6 +158,7 @@ class FFTRecModel(nn.Module):
     transformer_block: int
     drop_rate: float
     dtype: Optional[Any] = None
+    fused_user_encoder: Optional[bool] = None
 
     def setup(self):
         self.user_encoder = UserEncoder(
@@ -164,6 +167,7 @@ class FFTRecModel(nn.Module):
             n_layers=self.transformer_block,
             dropout=self.drop_rate,
             dtype=self.dtype,
+            fused=self.fused_user_encoder,
         )
         # FFT always fuses two intra embeddings (model.py:138).
         self.fuse = ComDense(self.embedding_dim, "fft", dtype=self.dtype)

@@ -4,12 +4,21 @@ Rebuild of User_Encoder (/root/reference/Code_Cached/model/encoders.py:37-58):
 a causal post-LN transformer over the user's item-embedding sequence.  The
 additive attention mask is 0 where (key <= query AND log_mask[key] != 0) and
 -1e9 elsewhere (encoders.py:53-57).
+
+On TPU the whole encoder (both directions) runs as one fused Pallas kernel
+each way (ops/fused_user_encoder.py): at SASRec's tiny geometry (seq 10,
+width 64) the unfused XLA lowering is dominated by per-op latency, not
+compute.  The module path below remains the semantic reference and the
+fallback for CPU tests, init, and unsupported shapes; the fused path reads
+the *same* linen parameter tree, so checkpoints, optimizer groups, and
+torch-parity weight copies are unaffected.
 """
 
 from __future__ import annotations
 
 from typing import Any, Optional
 
+import jax
 import jax.numpy as jnp
 from flax import linen as nn
 
@@ -30,22 +39,54 @@ def causal_additive_mask(log_mask: jnp.ndarray) -> jnp.ndarray:
 
 
 class UserEncoder(nn.Module):
-    """SASRec user tower: TransformerEncoder under a causal mask."""
+    """SASRec user tower: TransformerEncoder under a causal mask.
+
+    ``fused=None`` auto-selects the fused Pallas kernel on TPU for
+    supported shapes; ``False`` forces the module path, ``True`` forces the
+    kernel (still falling back off-TPU / at init).
+    """
 
     max_seq_len: int
     num_attention_heads: int
     n_layers: int
     dropout: float
     dtype: Optional[Any] = None
+    fused: Optional[bool] = None
 
     @nn.compact
     def __call__(self, input_embs, log_mask, deterministic: bool = True):
         mask = causal_additive_mask(log_mask)
-        return TransformerEncoder(
+        te = TransformerEncoder(
             n_position=self.max_seq_len,
             n_heads=self.num_attention_heads,
             n_layers=self.n_layers,
             dropout=self.dropout,
             dtype=self.dtype,
             name="transformer_encoder",
-        )(input_embs, mask, deterministic)
+        )
+        if self._use_fused(input_embs):
+            from ..ops.fused_user_encoder import apply_fused_encoder
+
+            params = self.variables["params"]["transformer_encoder"]
+            rng = None
+            if not deterministic and self.dropout > 0.0:
+                rng = self.make_rng("dropout")
+            out = apply_fused_encoder(
+                params, input_embs, mask,
+                n_layers=self.n_layers,
+                n_heads=self.num_attention_heads,
+                drop_rate=self.dropout,
+                dropout_rng=rng,
+            )
+            return out.astype(self.dtype or input_embs.dtype)
+        return te(input_embs, mask, deterministic)
+
+    def _use_fused(self, x) -> bool:
+        if self.fused is False or self.is_initializing():
+            return False
+        if jax.default_backend() != "tpu":
+            return False
+        from ..ops.fused_user_encoder import supported
+
+        B, L, D = x.shape
+        return supported(B, L, D, self.num_attention_heads)

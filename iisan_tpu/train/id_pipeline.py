@@ -38,6 +38,8 @@ class IDTrainer(TrainLoopMixin):
             transformer_block=cfg.transformer_block,
             drop_rate=cfg.drop_rate,
             dtype=jnp.dtype(cfg.compute_dtype),
+            fused_user_encoder=None if getattr(cfg, "fused_user_encoder", True)
+            else False,
         )
         self.pop_prob = jax.device_put(corpus.pop_prob)
         self.train_seqs = jax.device_put(corpus.train_seqs)

@@ -56,6 +56,8 @@ def build_uncached_model(cfg: IISANConfig):
             modality=cfg.modality,
             freeze_towers=True,
             dtype=dtype,
+            fused_user_encoder=None
+            if getattr(cfg, "fused_user_encoder", True) else False,
         )
         return model, "iisan"
     model = FFTRecModel(
@@ -67,6 +69,8 @@ def build_uncached_model(cfg: IISANConfig):
         transformer_block=cfg.transformer_block,
         drop_rate=cfg.drop_rate,
         dtype=dtype,
+        fused_user_encoder=None
+        if getattr(cfg, "fused_user_encoder", True) else False,
     )
     return model, method
 

@@ -18,7 +18,10 @@ if "host_platform_device_count" not in flags:
 
 import jax
 
-jax.config.update("jax_platforms", "cpu")
+# IISAN_TEST_PLATFORM=tpu runs the suite against the real chip (used to
+# exercise the TPU-only Pallas kernel tests); default is the CPU mesh.
+if os.environ.get("IISAN_TEST_PLATFORM", "cpu") == "cpu":
+    jax.config.update("jax_platforms", "cpu")
 
 # Persistent compile cache: the 8-device CPU mesh recompiles every jitted
 # program per test session otherwise (VERDICT r1 weak #5).
