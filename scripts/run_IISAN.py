@@ -1,24 +1,26 @@
-"""Canonical IISAN (Cached) sweep on Amazon Scientific.
+"""Canonical IISAN (Cached) sweep.
 
 Hyperparameter grid of /root/reference/Code_Cached/scripts/run_IISAN.py:
 27-49 (the published headline config): bs 64, lr 2e-4, adapter lrs 1e-4,
 emb/adapter-down 64, SAN layers "1,3,5,7,9,11", gated intra_inter,
 seed 12345, 100 epochs.
+
+    python scripts/run_IISAN.py [scientific|instrument|office|micro]
+
+replaces the reference's per-dataset launcher copies (run_IISAN_ins.py /
+run_IISAN_off.py / run_IISAN_micro.py differ only in the lines the
+dataset registry captures).
 """
 
 import sys
 
 sys.path.insert(0, ".")
 from iisan_tpu.sweep import run_sweep
+from scripts.datasets import DATASETS
 
 BASE = dict(
     pipeline="cached",
     root_data_dir="/root/reference",
-    dataset="Dataset/Scientific",
-    behaviors="am_Industrial_and_Scientific_users.tsv",
-    images="Industrial_and_Scientific_items.tsv",
-    news="Industrial_and_Scientific_items.tsv",
-    lmdb_data="am_is.lmdb",
     stored_vector_path="./stored_vectors_sci",
     mode="train",
     item_tower="modal",
@@ -53,4 +55,6 @@ GRID = dict(
 )
 
 if __name__ == "__main__":
-    run_sweep(BASE, GRID)
+    name = sys.argv[1] if len(sys.argv) > 1 else "scientific"
+    run_sweep({**BASE, **DATASETS[name],
+               "stored_vector_path": f"./stored_vectors_{name}"}, GRID)

@@ -7,21 +7,18 @@ Canonical configs of /root/reference/Code_Cached_Asym/script/:
   eva:    EVA-CLIP-18B image states (49 x 5120, list "2,11,20,29,38,47")
           (run_IISAN_eva.py:57-65)
   bertlarge: BERT-large (25 x 1024) x ViT-base
-    python scripts/run_IISAN_versa.py llama|eva|bertlarge
+    python scripts/run_IISAN_versa.py llama|eva|bertlarge [dataset]
 """
 
 import sys
 
 sys.path.insert(0, ".")
 from iisan_tpu.sweep import run_sweep
+from scripts.datasets import DATASETS
 
 COMMON = dict(
     pipeline="cached_asym",
     root_data_dir="/root/reference",
-    dataset="Dataset/Scientific",
-    behaviors="am_Industrial_and_Scientific_users.tsv",
-    images="Industrial_and_Scientific_items.tsv",
-    news="Industrial_and_Scientific_items.tsv",
     stored_vector_path="./stored_vectors_versa",
     mode="train",
     epoch=100,
@@ -69,4 +66,7 @@ GRID = dict(
 
 if __name__ == "__main__":
     variant = sys.argv[1] if len(sys.argv) > 1 else "llama"
-    run_sweep({**COMMON, **VARIANTS[variant]}, GRID)
+    # micro is the published IISAN-Versa benchmark set (run_IISAN_micro.py);
+    # default stays scientific (the shipped data).
+    name = sys.argv[2] if len(sys.argv) > 2 else "scientific"
+    run_sweep({**COMMON, **DATASETS[name], **VARIANTS[variant]}, GRID)

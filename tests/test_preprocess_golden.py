@@ -53,3 +53,35 @@ def test_golden_semantics(golden):
 
     # popularity: train counts A=2,B=1,D=1 -> [.5,.25,.25]; pad prob 1
     np.testing.assert_allclose(c.pop_prob, [1.0, 0.5, 0.25, 0.25])
+
+
+# n_items = count after interaction-filtering + re-densification
+# (preprocess.py:58-76 semantics), not the raw TSV line count.
+REF_DATASETS = [
+    ("Instrument", "Musical_Instruments_items.tsv",
+     "am_Musical_Instruments_users_10K.tsv", 10000, 19246),
+    ("Scientific", "Industrial_and_Scientific_items.tsv",
+     "am_Industrial_and_Scientific_users.tsv", 12076, 20314),
+]
+
+
+@pytest.mark.parametrize("name,items,users,n_users,n_items", REF_DATASETS)
+def test_reference_datasets_etl(name, items, users, n_users, n_items):
+    """ETL over every shipped reference dataset (SURVEY.md section 2.1 #20):
+    the per-dataset launcher variants (run_IISAN_ins.py etc.) differ only
+    in file names, so the same reader must handle all of them."""
+    import os
+
+    base = f"/root/reference/Dataset/{name}"
+    if not (os.path.exists(f"{base}/{items}")
+            and os.path.exists(f"{base}/{users}")):
+        pytest.skip(f"{name} data not shipped in this snapshot")
+    titles, n2i, i2n = read_items(f"{base}/{items}")
+    c = read_behaviors(f"{base}/{users}", n2i, i2n, 10, 5)
+    assert c.n_users == n_users
+    assert c.item_num == n_items
+    # leave-one-out split invariants
+    assert c.train_seqs.shape == (n_users, 11)
+    assert c.valid_target.min() >= 1 and c.valid_target.max() <= n_items
+    assert c.pop_prob.shape == (n_items + 1,)
+    assert np.isclose(c.pop_prob[1:].sum(), 1.0, atol=1e-5)
