@@ -19,8 +19,24 @@ METHODS = ["iisan_cached", "iisan_uncached", "fft", "lora", "houlsby",
 
 
 def main():
-    methods = sys.argv[1:] or METHODS
+    args = [a for a in sys.argv[1:] if a != "--merge"]
+    merge = "--merge" in sys.argv[1:]
+    methods = args or METHODS
     records = []
+    if merge:
+        # Start from prior results (fresher TPME_partial.json wins over
+        # TPME.json) for methods NOT being re-measured now.
+        import os
+        prior = {}
+        if os.path.exists("TPME.json"):
+            with open("TPME.json") as f:
+                for r in json.load(f)["records"]:
+                    prior[r["label"]] = r
+        if os.path.exists("TPME_partial.json"):
+            with open("TPME_partial.json") as f:
+                for r in json.load(f):
+                    prior[r["label"]] = r
+        records = [r for lbl, r in prior.items() if lbl not in set(methods)]
     for m in methods:
         print(f"measuring {m} ...", flush=True)
         res = subprocess.run(
@@ -45,6 +61,10 @@ def main():
         print(f"  epoch {rec['epoch_seconds']:.2f}s  "
               f"params {rec['trainable_params']:,}  "
               f"mem {rec['memory_bytes'] / 2**20:.0f} MiB", flush=True)
+        # Crash-resilience: persist each record as it lands so a killed run
+        # can be resumed per-method and merged.
+        with open("TPME_partial.json", "w") as f:
+            json.dump(records, f, indent=1)
 
     from iisan_tpu.utils.tpme import ALPHA, RunRecord, tpme_scores
 

@@ -12,7 +12,6 @@ development: module-vs-module-variant disagrees as much as module-vs-kernel).
 Under a linear probe all paths agree to ~1e-6 in f32.
 """
 
-import functools
 from unittest import mock
 
 import jax
