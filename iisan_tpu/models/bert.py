@@ -128,6 +128,8 @@ class BertEncoder(nn.Module):
     # jax.checkpoint each layer: recompute activations in backward instead
     # of storing them - frees HBM for bigger uncached batches.
     remat: bool = False
+    # "full" | "cls" - see ViTEncoder.collect.
+    collect: str = "full"
 
     @nn.compact
     def __call__(self, input_ids, attention_mask, deterministic: bool = True):
@@ -152,13 +154,15 @@ class BertEncoder(nn.Module):
 
         layer_cls = nn.remat(BertLayer, static_argnums=(3,)) if self.remat \
             else BertLayer
-        hiddens = [x]
+        reduce = (lambda h: h[:, 0, :]) if self.collect == "cls" \
+            else (lambda h: h)
+        hiddens = [reduce(x)]
         for i in range(self.num_layers):
             x = layer_cls(self.num_heads, self.intermediate_dim,
                           self.dtype, self.dropout, self.lora_rank,
                           self.houlsby_down, self.adapter_activation,
                           name=f"layer_{i}")(x, bias, deterministic)
-            hiddens.append(x)
+            hiddens.append(reduce(x))
         return x, jnp.stack(hiddens, axis=0)
 
 

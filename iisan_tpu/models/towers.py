@@ -72,9 +72,13 @@ class ImageTower(nn.Module):
 
 
 def take_cls_taps(hiddens: jnp.ndarray, tap_ids: Sequence[int]) -> jnp.ndarray:
-    """(layers+1, N, T, D) hidden stack -> (N, K, D) CLS taps
-    (model.py:212-213: hidden_states[i][:, 0])."""
-    taps = hiddens[jnp.asarray(tap_ids)][:, :, 0, :]  # (K, N, D)
+    """Hidden stack -> (N, K, D) CLS taps (model.py:212-213:
+    hidden_states[i][:, 0]).  Accepts the encoders' "full" layout
+    (layers+1, N, T, D) or the pre-reduced "cls" layout (layers+1, N, D)
+    (ViTEncoder.collect)."""
+    taps = hiddens[jnp.asarray(tap_ids)]
+    if taps.ndim == 4:
+        taps = taps[:, :, 0, :]                       # (K, N, D)
     return taps.transpose(1, 0, 2)
 
 
@@ -218,6 +222,7 @@ def towers_from_config(cfg, dtype=None):
         intermediate_dim=cfg.word_embedding_dim * 4,
         dtype=dtype,
         remat=cfg.remat_towers,
+        collect="cls",
         **peft,
     )
     vit_peft = dict(peft)
@@ -231,6 +236,12 @@ def towers_from_config(cfg, dtype=None):
         intermediate_dim=cfg.image_embedding_dim * 4,
         dtype=dtype,
         remat=cfg.remat_towers,
+        collect="cls",
+        # The fused attention kernel has no VJP of its own (bwd recomputes
+        # in XLA); enable it only for the frozen-tower IISAN path where
+        # gradients stop at the tap boundary.
+        fused_attention="IISAN" in cfg.adapter_type
+        and cfg.adding_adapter_to != "None",
         **vit_peft,
     )
     text_tower = TextTower(bert=bert, embedding_dim=cfg.embedding_dim,

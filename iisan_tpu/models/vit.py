@@ -34,6 +34,11 @@ class ViTSelfAttention(nn.Module):
     dtype: Any = jnp.float32
     dropout: float = 0.0
     lora_rank: int = 0  # LoRA on q/v (run.py:168-171 analog)
+    # Fused Pallas attention (ops/fused_attention.py): scores never touch
+    # HBM.  Only taken when attention dropout is inactive (rate 0 or
+    # deterministic) and the backend is TPU; HF ViT-base has attention
+    # dropout 0.0, so the frozen-tower training path qualifies.
+    fused: bool = False
 
     @nn.compact
     def __call__(self, x, deterministic: bool = True):
@@ -49,6 +54,14 @@ class ViTSelfAttention(nn.Module):
             v = nn.Dense(d, dtype=self.dtype, name="value")(x)
         k = nn.Dense(d, dtype=self.dtype, name="key")(x)
         b, t = x.shape[0], x.shape[1]
+
+        if (self.fused and jax.default_backend() == "tpu"
+                and not self.is_initializing()
+                and (self.dropout == 0.0 or deterministic)):
+            from ..ops.fused_attention import fused_mha, supported
+
+            if supported(b, t, d, self.num_heads):
+                return fused_mha(q, k, v, self.num_heads)
 
         def split(y):
             return y.reshape(b, t, self.num_heads, dh).transpose(0, 2, 1, 3)
@@ -71,6 +84,7 @@ class ViTBlock(nn.Module):
     lora_rank: int = 0
     houlsby_down: int = 0   # VITAdaptedSelfOutput/VITAdaptedOutput analog
     adapter_activation: str = "RELU"
+    fused_attention: bool = False
 
     @nn.compact
     def __call__(self, x, deterministic: bool = True):
@@ -81,7 +95,8 @@ class ViTBlock(nn.Module):
                          name="layernorm_before")(
             x.astype(jnp.float32)).astype(self.dtype)
         h = ViTSelfAttention(self.num_heads, self.dtype, self.dropout,
-                             self.lora_rank, name="attention")(h, deterministic)
+                             self.lora_rank, fused=self.fused_attention,
+                             name="attention")(h, deterministic)
         h = nn.Dense(d, dtype=self.dtype, name="attention_output")(h)
         h = nn.Dropout(self.dropout)(h, deterministic=deterministic)
         if self.houlsby_down > 0:
@@ -127,6 +142,15 @@ class ViTEncoder(nn.Module):
     adapter_activation: str = "RELU"
     # jax.checkpoint each block (see BertEncoder.remat)
     remat: bool = False
+    # Fused Pallas attention (see ViTSelfAttention.fused).
+    fused_attention: bool = False
+    # Per-layer hidden-state collection: "full" stacks the whole (B, T, D)
+    # activation per layer (HF output_hidden_states parity - what the
+    # cache builder and parity tests consume); "cls" stacks only the CLS
+    # row.  The SAN taps only need CLS, and stacking full states costs
+    # ~75 ms/step of pure dynamic-update-slice traffic at the uncached
+    # training geometry (104 MB per stack) - 35% of the step.
+    collect: str = "full"
 
     @nn.compact
     def __call__(self, images, deterministic: bool = True):
@@ -150,13 +174,16 @@ class ViTEncoder(nn.Module):
         x = nn.Dropout(self.dropout)(x, deterministic=deterministic)
         layer_cls = nn.remat(ViTBlock, static_argnums=(2,)) if self.remat \
             else ViTBlock
-        hiddens = [x]
+        reduce = (lambda h: h[:, 0, :]) if self.collect == "cls" \
+            else (lambda h: h)
+        hiddens = [reduce(x)]
         for i in range(self.num_layers):
             x = layer_cls(self.num_heads, self.intermediate_dim,
                           self.dtype, self.dropout, self.lora_rank,
                           self.houlsby_down, self.adapter_activation,
+                          self.fused_attention,
                           name=f"layer_{i}")(x, deterministic)
-            hiddens.append(x)
+            hiddens.append(reduce(x))
         last = nn.LayerNorm(epsilon=1e-12, dtype=jnp.float32,
                             name="final_layernorm")(
             x.astype(jnp.float32)).astype(self.dtype)

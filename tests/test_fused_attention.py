@@ -1,0 +1,114 @@
+"""Fused encoder MHA kernel tests (ops/fused_attention.py).
+
+Interpret-mode on the CPU tier; a compiled test on the TPU tier
+(IISAN_TEST_PLATFORM=tpu).
+"""
+
+from unittest import mock
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+from jax.experimental import pallas as pl
+
+from iisan_tpu.ops import fused_attention as fa
+
+cpu_only = pytest.mark.skipif(
+    jax.default_backend() == "tpu",
+    reason="interpret-mode tolerances are defined on the CPU tier")
+requires_tpu = pytest.mark.skipif(
+    jax.default_backend() != "tpu", reason="needs the real TPU")
+
+
+@pytest.fixture()
+def interpret_pallas():
+    orig = pl.pallas_call
+
+    def patched(*a, **k):
+        k["interpret"] = True
+        return orig(*a, **k)
+
+    with mock.patch.object(pl, "pallas_call", patched):
+        yield
+
+
+def _qkv(B=6, T=17, D=32, seed=0):
+    rng = np.random.default_rng(seed)
+    mk = lambda: jnp.asarray(rng.standard_normal((B, T, D)), jnp.float32)
+    return mk(), mk(), mk()
+
+
+@cpu_only
+@pytest.mark.parametrize("with_bias", [False, True])
+def test_forward_matches_reference(interpret_pallas, with_bias):
+    q, k, v = _qkv()
+    B, T, D = q.shape
+    bias = None
+    if with_bias:
+        rng = np.random.default_rng(1)
+        bias = jnp.where(jnp.asarray(rng.random((B, T))) > 0.3, 0.0, -1e9)
+    got = fa.fused_mha(q, k, v, n_heads=2, key_bias=bias)
+    want = fa._reference_mha(q, k, v, bias, 2, jnp.float32)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                               rtol=1e-5, atol=1e-5)
+
+
+@cpu_only
+def test_gradients_flow_through_vjp(interpret_pallas):
+    """The custom VJP is the autodiff of the reference formulation."""
+    q, k, v = _qkv()
+    rng = np.random.default_rng(2)
+    proj = jnp.asarray(rng.standard_normal(q.shape), jnp.float32)
+
+    def loss_fused(q, k, v):
+        return jnp.sum(fa.fused_mha(q, k, v, n_heads=2) * proj)
+
+    def loss_ref(q, k, v):
+        return jnp.sum(fa._reference_mha(q, k, v, None, 2, jnp.float32) * proj)
+
+    g_f = jax.grad(loss_fused, argnums=(0, 1, 2))(q, k, v)
+    g_r = jax.grad(loss_ref, argnums=(0, 1, 2))(q, k, v)
+    for a, b in zip(g_f, g_r):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=1e-5, atol=1e-6)
+
+
+def test_supported():
+    assert fa.supported(352, 197, 768, 12)
+    assert fa.supported(1, 30, 768, 12)
+    assert not fa.supported(4, 30, 768, 5)   # D % H != 0
+    assert not fa.supported(4, 30, 36, 6)    # head dim 6 not multiple of 8
+
+
+def test_module_fallback_paths():
+    """ViTSelfAttention: fused flag off-TPU / with dropout must match the
+    plain module math exactly (the fused branch is not taken)."""
+    from iisan_tpu.models.vit import ViTSelfAttention
+
+    rng = np.random.default_rng(0)
+    x = jnp.asarray(rng.standard_normal((4, 17, 32)), jnp.float32)
+    on = ViTSelfAttention(num_heads=2, dtype=jnp.float32, fused=True)
+    off = ViTSelfAttention(num_heads=2, dtype=jnp.float32, fused=False)
+    p = on.init(jax.random.PRNGKey(0), x)["params"]
+    if jax.default_backend() == "tpu":
+        pytest.skip("fused branch active on TPU; parity covered below")
+    y_on = on.apply({"params": p}, x)
+    y_off = off.apply({"params": p}, x)
+    np.testing.assert_array_equal(np.asarray(y_on), np.asarray(y_off))
+
+
+@requires_tpu
+def test_tpu_compiled_parity():
+    """Compiled kernel vs XLA reference at the ViT-base training geometry
+    (a reduced batch to keep the test fast)."""
+    rng = np.random.default_rng(0)
+    B, T, D, H = 16, 197, 768, 12
+    mk = lambda: jnp.asarray(rng.standard_normal((B, T, D)) * 0.3,
+                             jnp.bfloat16)
+    q, k, v = mk(), mk(), mk()
+    got = np.asarray(fa.fused_mha(q, k, v, n_heads=H), np.float32)
+    want = np.asarray(fa._reference_mha(q, k, v, None, H, jnp.bfloat16),
+                      np.float32)
+    scale = np.abs(want).max()
+    assert np.abs(got - want).max() / scale < 0.05, np.abs(got - want).max()
