@@ -38,9 +38,20 @@ def _text_states(bert, params, tokens, pool: str = "cls"):
     pool="cls": hidden[:, 0] (preprocess_vectors.py:89-92);
     pool="mean": attention-masked token mean per layer (the Llama builders,
     preprocess_llama-3-70b_micro.py:67-70).
+
+    When the encoder supports reduced collection (BertEncoder.collect) the
+    per-layer reduction happens inside the tower pass - the full
+    (L+1, B, T, D) stack (104 MB per ViT-base batch) never exists.
     """
     n = tokens.shape[1] // 2
     ids, mask = tokens[:, :n], tokens[:, n:]
+    if hasattr(bert, "collect"):
+        import dataclasses
+
+        bert = dataclasses.replace(
+            bert, collect="cls" if pool == "cls" else "mean")
+        _, hiddens = bert.apply({"params": params}, ids, mask)  # (L+1, B, D)
+        return hiddens.transpose(1, 0, 2)
     _, hiddens = bert.apply({"params": params}, ids, mask)  # (L+1, B, T, D)
     if pool == "cls":
         out = hiddens[:, :, 0, :]
@@ -56,6 +67,12 @@ def _image_states(vit, params, images_u8):
     from .data.images import normalize_images
 
     images = normalize_images(images_u8, jnp.float32)
+    if hasattr(vit, "collect"):
+        import dataclasses
+
+        vit = dataclasses.replace(vit, collect="cls")
+        _, hiddens = vit.apply({"params": params}, images)  # (L+1, B, D)
+        return hiddens.transpose(1, 0, 2)
     _, hiddens = vit.apply({"params": params}, images)  # (L+1, B, T, D)
     return hiddens[:, :, 0, :].transpose(1, 0, 2)
 

@@ -128,7 +128,9 @@ class BertEncoder(nn.Module):
     # jax.checkpoint each layer: recompute activations in backward instead
     # of storing them - frees HBM for bigger uncached batches.
     remat: bool = False
-    # "full" | "cls" - see ViTEncoder.collect.
+    # "full" | "cls" | "mean" - see ViTEncoder.collect; "mean" stacks the
+    # attention-masked per-layer token mean (the Versa mean-pool cache
+    # semantics, preprocess_llama-3-70b_micro.py:67-70).
     collect: str = "full"
 
     @nn.compact
@@ -154,8 +156,15 @@ class BertEncoder(nn.Module):
 
         layer_cls = nn.remat(BertLayer, static_argnums=(3,)) if self.remat \
             else BertLayer
-        reduce = (lambda h: h[:, 0, :]) if self.collect == "cls" \
-            else (lambda h: h)
+        if self.collect == "cls":
+            reduce = lambda h: h[:, 0, :]
+        elif self.collect == "mean":
+            w = attention_mask.astype(jnp.float32)[:, :, None]
+            denom = jnp.maximum(jnp.sum(w, axis=1), 1.0)
+            reduce = lambda h: (jnp.sum(h.astype(jnp.float32) * w, axis=1)
+                                / denom).astype(h.dtype)
+        else:
+            reduce = lambda h: h
         hiddens = [reduce(x)]
         for i in range(self.num_layers):
             x = layer_cls(self.num_heads, self.intermediate_dim,
