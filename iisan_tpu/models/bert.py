@@ -36,6 +36,11 @@ class BertSelfAttention(nn.Module):
     dtype: Any = jnp.float32
     dropout: float = 0.1
     lora_rank: int = 0  # LoRA on q/v projections (run.py:170-176 analog)
+    # Fused Pallas attention (ops/fused_attention.py); the key-bias mask
+    # and attention dropout (on-chip PRNG) are both supported, but the
+    # fused bwd is undefined under dropout, so only frozen-tower paths
+    # enable this (towers.py gating).
+    fused: bool = False
 
     @nn.compact
     def __call__(self, x, attn_bias, deterministic: bool = True):
@@ -51,6 +56,19 @@ class BertSelfAttention(nn.Module):
             v = nn.Dense(d, dtype=self.dtype, name="value")(x)
         k = nn.Dense(d, dtype=self.dtype, name="key")(x)
         b, t = x.shape[0], x.shape[1]
+
+        if (self.fused and jax.default_backend() == "tpu"
+                and not self.is_initializing()):
+            from ..ops.fused_attention import fused_mha, supported
+
+            if supported(b, t, d, self.num_heads):
+                # attn_bias is (B, 1, 1, T) additive (0 / -1e9).
+                key_bias = attn_bias.reshape(b, t)
+                rng = None
+                if not deterministic and self.dropout > 0.0:
+                    rng = self.make_rng("dropout")
+                return fused_mha(q, k, v, self.num_heads, key_bias=key_bias,
+                                 drop_rate=self.dropout, dropout_rng=rng)
 
         def split(y):
             return y.reshape(b, t, self.num_heads, dh).transpose(0, 2, 1, 3)
@@ -74,6 +92,7 @@ class BertLayer(nn.Module):
     lora_rank: int = 0
     houlsby_down: int = 0       # Houlsby adapters (model.py:198-222 analog)
     adapter_activation: str = "RELU"
+    fused_attention: bool = False
 
     @nn.compact
     def __call__(self, x, attn_bias, deterministic: bool = True):
@@ -81,7 +100,8 @@ class BertLayer(nn.Module):
 
         d = x.shape[-1]
         attn = BertSelfAttention(self.num_heads, self.dtype, self.dropout,
-                                 self.lora_rank, name="attention")(
+                                 self.lora_rank, fused=self.fused_attention,
+                                 name="attention")(
             x, attn_bias, deterministic)
         attn = nn.Dense(d, dtype=self.dtype, name="attention_output")(attn)
         attn = nn.Dropout(self.dropout)(attn, deterministic=deterministic)
@@ -128,6 +148,8 @@ class BertEncoder(nn.Module):
     # jax.checkpoint each layer: recompute activations in backward instead
     # of storing them - frees HBM for bigger uncached batches.
     remat: bool = False
+    # Fused Pallas attention (see BertSelfAttention.fused).
+    fused_attention: bool = False
     # "full" | "cls" | "mean" - see ViTEncoder.collect; "mean" stacks the
     # attention-masked per-layer token mean (the Versa mean-pool cache
     # semantics, preprocess_llama-3-70b_micro.py:67-70).
@@ -170,6 +192,7 @@ class BertEncoder(nn.Module):
             x = layer_cls(self.num_heads, self.intermediate_dim,
                           self.dtype, self.dropout, self.lora_rank,
                           self.houlsby_down, self.adapter_activation,
+                          self.fused_attention,
                           name=f"layer_{i}")(x, bias, deterministic)
             hiddens.append(reduce(x))
         return x, jnp.stack(hiddens, axis=0)

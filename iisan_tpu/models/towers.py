@@ -223,6 +223,8 @@ def towers_from_config(cfg, dtype=None):
         dtype=dtype,
         remat=cfg.remat_towers,
         collect="cls",
+        fused_attention="IISAN" in cfg.adapter_type
+        and cfg.adding_adapter_to != "None",
         **peft,
     )
     vit_peft = dict(peft)

@@ -10,11 +10,11 @@ VMEM: each grid program loads a block of images' Q/K/V (straight from the
 projection, no head transpose), loops the heads as lane slices, and runs
 QK^T -> softmax -> PV as Mosaic batched matmuls.
 
-Scope: encoder self-attention without mask and without attention dropout -
-exactly the ViT tower configuration (ViT has no padding mask and HF
-ViT-base has attention dropout 0.0).  An optional additive key bias
-(B, T) covers BERT's padding mask; attention dropout is not supported (the
-caller falls back to the module path when it needs it).
+Scope: encoder self-attention.  An optional additive key bias (B, T)
+covers BERT's padding mask; attention-probability dropout (BERT trains its
+frozen towers in train mode with rate 0.1, matching the reference running
+HF towers un-eval()ed) is generated on-chip with the Pallas PRNG like the
+fused user-encoder kernel.
 
 Backward: a ``jax.custom_vjp`` whose bwd recomputes attention with plain
 XLA einsums and differentiates those - the IISAN uncached path
@@ -38,10 +38,18 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-# Images (batch rows) per grid program.  2 keeps Q/K/V blocks (double-
-# buffered), per-head fp32 scores, and the head-output accumulator inside
-# the 16 MB VMEM budget at ViT-base geometry (4 needs ~17 MB).
-BATCH_BLOCK = 2
+def _pick_batch_block(B, T, D):
+    """Largest divisor of B whose double-buffered Q/K/V/O blocks plus one
+    head's fp32 scores stay well inside the 16 MB VMEM budget."""
+    best = 1
+    for cand in range(1, min(B, 32) + 1):
+        if B % cand:
+            continue
+        qkv = 4 * cand * T * D * 2 * 2   # q,k,v,o bf16, double-buffered
+        scores = 2 * cand * T * max(T, 128) * 4
+        if qkv + scores <= 8 * 2 ** 20:
+            best = cand
+    return best
 
 
 def _bmm(a, b, contract):
@@ -49,10 +57,12 @@ def _bmm(a, b, contract):
                                preferred_element_type=jnp.float32)
 
 
-def _mha_kernel(q_ref, k_ref, v_ref, bias_ref, o_ref, *, H, T, D, dt,
-                with_bias):
+def _mha_kernel(q_ref, k_ref, v_ref, bias_ref, seed_ref, o_ref, *, H, T, D,
+                dt, with_bias, rate, train):
     dk = D // H
     inv = 1.0 / math.sqrt(dk)
+    if train:
+        pltpu.prng_seed(seed_ref[0] + pl.program_id(0))
     q = q_ref[...]  # (Bb, T, D) dt
     k = k_ref[...]
     v = v_ref[...]
@@ -67,6 +77,11 @@ def _mha_kernel(q_ref, k_ref, v_ref, bias_ref, o_ref, *, H, T, D, dt,
         if with_bias:
             s = s + bias[:, None, :]
         p = jax.nn.softmax(s, axis=-1).astype(dt)
+        if train:
+            from .fused_user_encoder import _dropout_mask
+
+            p = (p.astype(jnp.float32) * _dropout_mask(p.shape, rate)
+                 ).astype(dt)
         o = _bmm(p.astype(jnp.float32), vh.astype(jnp.float32),
                  ((2,), (1,)))                            # (Bb, T, dk) f32
         outs.append(o.astype(dt))
@@ -94,13 +109,9 @@ def _reference_mha(q, k, v, bias, n_heads, dt):
 
 @functools.lru_cache(maxsize=None)
 def _make_fused_mha(H: int, B: int, T: int, D: int, dt_name: str,
-                    with_bias: bool):
+                    with_bias: bool, rate: float, train: bool):
     dt = jnp.dtype(dt_name)
-    B_blk = B
-    for cand in range(min(B, BATCH_BLOCK), 0, -1):
-        if B % cand == 0:
-            B_blk = cand
-            break
+    B_blk = _pick_batch_block(B, T, D)
     grid = (B // B_blk,)
     blk = pl.BlockSpec((B_blk, T, D), lambda b: (b, 0, 0),
                        memory_space=pltpu.VMEM)
@@ -108,9 +119,10 @@ def _make_fused_mha(H: int, B: int, T: int, D: int, dt_name: str,
     # by (8, 128) or equal to the array dims - (1, T) satisfies "equal".
     bias_blk = pl.BlockSpec((B_blk, 1, T), lambda b: (b, 0, 0),
                             memory_space=pltpu.VMEM)
-    in_specs = [blk, blk, blk, bias_blk]
+    seed_blk = pl.BlockSpec(memory_space=pltpu.SMEM)
+    in_specs = [blk, blk, blk, bias_blk, seed_blk]
     kern = functools.partial(_mha_kernel, H=H, T=T, D=D, dt=dt,
-                             with_bias=with_bias)
+                             with_bias=with_bias, rate=rate, train=train)
     call = pl.pallas_call(
         kern,
         grid=grid,
@@ -120,19 +132,29 @@ def _make_fused_mha(H: int, B: int, T: int, D: int, dt_name: str,
     )
 
     @jax.custom_vjp
-    def fused(q, k, v, bias):
-        return call(q, k, v, bias)
+    def fused(q, k, v, bias, seed):
+        return call(q, k, v, bias, seed)
 
-    def fused_fwd(q, k, v, bias):
-        return call(q, k, v, bias), (q, k, v, bias)
+    def fused_fwd(q, k, v, bias, seed):
+        return call(q, k, v, bias, seed), (q, k, v, bias, seed)
 
     def fused_bwd(res, g):
-        q, k, v, bias = res
+        if train:
+            # The in-kernel dropout masks are not reproducible from XLA;
+            # callers gate the kernel to frozen-tower paths where the
+            # gradient stops before attention (models/{vit,bert}.py).
+            raise NotImplementedError(
+                "fused_mha backward with active attention dropout; use the "
+                "module path for methods that train the towers")
+        q, k, v, bias, seed = res
         _, vjp = jax.vjp(
             lambda q_, k_, v_: _reference_mha(
                 q_, k_, v_, bias if with_bias else None, H, dt), q, k, v)
         gq, gk, gv = vjp(g)
-        return gq, gk, gv, jnp.zeros_like(bias)
+        import numpy as np
+
+        return (gq, gk, gv, jnp.zeros_like(bias),
+                np.zeros(seed.shape, jax.dtypes.float0))
 
     fused.defvjp(fused_fwd, fused_bwd)
     return fused
@@ -144,17 +166,28 @@ def supported(B: int, T: int, D: int, H: int) -> bool:
 
 def fused_mha(q: jnp.ndarray, k: jnp.ndarray, v: jnp.ndarray,
               n_heads: int, key_bias: Optional[jnp.ndarray] = None,
-              ) -> jnp.ndarray:
+              drop_rate: float = 0.0, dropout_rng=None) -> jnp.ndarray:
     """Fused encoder self-attention.
 
     q/k/v: (B, T, D) head-unsplit projection outputs; key_bias: optional
-    (B, T) additive bias on key logits (0 / -1e9 padding mask).  Returns
-    (B, T, D) context, heads merged.
+    (B, T) additive bias on key logits (0 / -1e9 padding mask);
+    drop_rate/dropout_rng: attention-probability dropout (train mode when
+    both set).  Returns (B, T, D) context, heads merged.
     """
     B, T, D = q.shape
     dt = q.dtype
     with_bias = key_bias is not None
-    fused = _make_fused_mha(n_heads, B, T, D, jnp.dtype(dt).name, with_bias)
+    train = dropout_rng is not None and drop_rate > 0.0
+    fused = _make_fused_mha(n_heads, B, T, D, jnp.dtype(dt).name, with_bias,
+                            float(drop_rate), train)
     if key_bias is None:
         key_bias = jnp.zeros((B, T), jnp.float32)
-    return fused(q, k, v, key_bias.astype(jnp.float32).reshape(B, 1, T))
+    if train:
+        import numpy as np
+
+        seed = jax.random.randint(dropout_rng, (1,), 0,
+                                  np.int32(2 ** 31 - 1), dtype=jnp.int32)
+    else:
+        seed = jnp.zeros((1,), jnp.int32)
+    return fused(q, k, v, key_bias.astype(jnp.float32).reshape(B, 1, T),
+                 seed)

@@ -112,3 +112,22 @@ def test_tpu_compiled_parity():
                       np.float32)
     scale = np.abs(want).max()
     assert np.abs(got - want).max() / scale < 0.05, np.abs(got - want).max()
+
+
+@requires_tpu
+def test_tpu_dropout_determinism_and_effect():
+    """In-kernel attention dropout: same seed reproduces, different seeds
+    differ, rate=0.3 changes the output vs deterministic."""
+    rng = np.random.default_rng(0)
+    B, T, D, H = 8, 30, 64, 2
+    mk = lambda: jnp.asarray(rng.standard_normal((B, T, D)) * 0.5,
+                             jnp.float32)
+    q, k, v = mk(), mk(), mk()
+    k1, k2 = jax.random.PRNGKey(1), jax.random.PRNGKey(2)
+    y1 = np.asarray(fa.fused_mha(q, k, v, H, drop_rate=0.3, dropout_rng=k1))
+    y1b = np.asarray(fa.fused_mha(q, k, v, H, drop_rate=0.3, dropout_rng=k1))
+    y2 = np.asarray(fa.fused_mha(q, k, v, H, drop_rate=0.3, dropout_rng=k2))
+    y0 = np.asarray(fa.fused_mha(q, k, v, H))
+    assert np.array_equal(y1, y1b)
+    assert not np.array_equal(y1, y2)
+    assert not np.array_equal(y1, y0)
