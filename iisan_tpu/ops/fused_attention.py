@@ -72,8 +72,11 @@ def _mha_kernel(q_ref, k_ref, v_ref, bias_ref, seed_ref, o_ref, *, H, T, D,
     for h in range(H):
         sl = slice(h * dk, (h + 1) * dk)
         qh, kh, vh = q[:, :, sl], k[:, :, sl], v[:, :, sl]
-        s = _bmm(qh.astype(jnp.float32), kh.astype(jnp.float32),
-                 ((2,), (2,))) * inv                      # (Bb, T, T) f32
+        # Keep matmul OPERANDS in the compute dtype and accumulate fp32
+        # (preferred_element_type) - f32 operands would run the MXU at a
+        # fraction of its bf16 rate, and the module path's einsums use
+        # bf16 operands with fp32 accumulation too.
+        s = _bmm(qh, kh, ((2,), (2,))) * inv              # (Bb, T, T) f32
         if with_bias:
             s = s + bias[:, None, :]
         p = jax.nn.softmax(s, axis=-1).astype(dt)
@@ -82,8 +85,7 @@ def _mha_kernel(q_ref, k_ref, v_ref, bias_ref, seed_ref, o_ref, *, H, T, D,
 
             p = (p.astype(jnp.float32) * _dropout_mask(p.shape, rate)
                  ).astype(dt)
-        o = _bmm(p.astype(jnp.float32), vh.astype(jnp.float32),
-                 ((2,), (1,)))                            # (Bb, T, dk) f32
+        o = _bmm(p, vh, ((2,), (1,)))                     # (Bb, T, dk) f32
         outs.append(o.astype(dt))
     o_ref[...] = jnp.concatenate(outs, axis=-1)
 
