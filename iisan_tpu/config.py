@@ -148,6 +148,10 @@ class IISANConfig:
     # lax.scan unroll factor for the cached epoch loop: >1 lets XLA overlap
     # the per-step gathers/updates across steps at the cost of compile time.
     epoch_scan_unroll: int = 1
+    # Fused Pallas encoder attention in the uncached towers
+    # (ops/fused_attention.py); applies to the frozen-tower IISAN path
+    # only (methods that train the towers always use the XLA path).
+    fused_tower_attention: bool = True
     # Fused Pallas SASRec user-encoder kernels (ops/fused_user_encoder.py).
     # True = auto (kernel on TPU for supported shapes, module path elsewhere);
     # False = always the module path.  Unlike the SAN cascade (where XLA

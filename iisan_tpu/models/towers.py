@@ -224,7 +224,8 @@ def towers_from_config(cfg, dtype=None):
         remat=cfg.remat_towers,
         collect="cls",
         fused_attention="IISAN" in cfg.adapter_type
-        and cfg.adding_adapter_to != "None",
+        and cfg.adding_adapter_to != "None"
+        and getattr(cfg, "fused_tower_attention", True),
         **peft,
     )
     vit_peft = dict(peft)
@@ -239,11 +240,12 @@ def towers_from_config(cfg, dtype=None):
         dtype=dtype,
         remat=cfg.remat_towers,
         collect="cls",
-        # The fused attention kernel has no VJP of its own (bwd recomputes
-        # in XLA); enable it only for the frozen-tower IISAN path where
-        # gradients stop at the tap boundary.
+        # The fused attention kernel has no VJP under active dropout;
+        # enable it only for the frozen-tower IISAN path where gradients
+        # stop at the tap boundary.
         fused_attention="IISAN" in cfg.adapter_type
-        and cfg.adding_adapter_to != "None",
+        and cfg.adding_adapter_to != "None"
+        and getattr(cfg, "fused_tower_attention", True),
         **vit_peft,
     )
     text_tower = TextTower(bert=bert, embedding_dim=cfg.embedding_dim,

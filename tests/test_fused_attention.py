@@ -131,3 +131,51 @@ def test_tpu_dropout_determinism_and_effect():
     assert np.array_equal(y1, y1b)
     assert not np.array_equal(y1, y2)
     assert not np.array_equal(y1, y0)
+
+
+@requires_tpu
+def test_tpu_uncached_loss_parity_with_kernels():
+    """One uncached train-loss evaluation: all fused paths on vs all off
+    must agree within bf16 tolerance (regression net for the kernel
+    integrations; deterministic=True so dropout streams don't differ)."""
+    import dataclasses
+
+    from iisan_tpu.config import IISANConfig
+    from iisan_tpu.data.synthetic import synthetic_corpus
+    from iisan_tpu.train.uncached import build_uncached_model
+
+    base = IISANConfig(
+        pipeline="uncached", batch_size=8, embedding_dim=64,
+        adapter_type="IISAN", adding_adapter_to="all",
+        side_adapter_vit_list="1,3,5,7,9,11",
+        side_adapter_bert_list="1,3,5,7,9,11", modality="intra_inter",
+        text_layers=2, image_layers=2, seed=1).with_bert_dims()
+    corpus = synthetic_corpus(n_users=32, item_num=100, seed=0)
+    rng = np.random.default_rng(0)
+    bs, L = base.batch_size, base.max_seq_len
+    ids = jnp.asarray(corpus.train_seqs[:bs])
+    mask = jnp.asarray(corpus.train_log_mask[:bs])
+    tokens = np.zeros((bs * (L + 1), 60), np.int32)
+    tokens[:, :30] = rng.integers(1, 1000, size=(bs * (L + 1), 30))
+    tokens[:, 30:] = 1
+    images = jnp.asarray(
+        rng.standard_normal((bs * (L + 1), 224, 224, 3)) * 0.3, jnp.bfloat16)
+    pop = jnp.ones((101,), jnp.float32) / 101.0
+
+    losses = {}
+    params = None
+    for fused in (True, False):
+        cfg = dataclasses.replace(base, fused_tower_attention=fused,
+                                  fused_user_encoder=fused)
+        model, _ = build_uncached_model(cfg)
+        if params is None:
+            params = model.init(
+                {"params": jax.random.PRNGKey(0),
+                 "dropout": jax.random.PRNGKey(1)},
+                ids, images, jnp.asarray(tokens), mask, pop,
+                deterministic=True)["params"]
+        losses[fused] = float(model.apply(
+            {"params": params}, ids, images, jnp.asarray(tokens), mask, pop,
+            deterministic=True))
+    assert abs(losses[True] - losses[False]) / abs(losses[False]) < 5e-3, \
+        losses
