@@ -199,6 +199,17 @@ class IISANConfig:
     def remove_first_bool(self) -> bool:
         return self.remove_first == "TRUE"
 
+    def is_iisan(self) -> bool:
+        """IISAN adapter method selected (run.py:214's string dispatch).
+
+        Single source of truth for BOTH the uncached model choice
+        (build_uncached_model) and the frozen-tower-only fused-attention
+        gate (towers_from_config): the fused kernel's VJP raises under
+        active dropout, which is safe exactly when the towers are frozen
+        — i.e. for this predicate (ADVICE r1: keep the two in lockstep).
+        """
+        return "IISAN" in self.adapter_type and self.adding_adapter_to != "None"
+
     @property
     def gated(self) -> bool:
         return self.fusion_method == "gated"

@@ -223,8 +223,7 @@ def towers_from_config(cfg, dtype=None):
         dtype=dtype,
         remat=cfg.remat_towers,
         collect="cls",
-        fused_attention="IISAN" in cfg.adapter_type
-        and cfg.adding_adapter_to != "None"
+        fused_attention=cfg.is_iisan()
         and getattr(cfg, "fused_tower_attention", True),
         **peft,
     )
@@ -242,9 +241,9 @@ def towers_from_config(cfg, dtype=None):
         collect="cls",
         # The fused attention kernel has no VJP under active dropout;
         # enable it only for the frozen-tower IISAN path where gradients
-        # stop at the tap boundary.
-        fused_attention="IISAN" in cfg.adapter_type
-        and cfg.adding_adapter_to != "None"
+        # stop at the tap boundary (cfg.is_iisan() — same predicate that
+        # selects UncachedIISANModel in build_uncached_model).
+        fused_attention=cfg.is_iisan()
         and getattr(cfg, "fused_tower_attention", True),
         **vit_peft,
     )

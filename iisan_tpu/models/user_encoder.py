@@ -71,12 +71,16 @@ class UserEncoder(nn.Module):
             rng = None
             if not deterministic and self.dropout > 0.0:
                 rng = self.make_rng("dropout")
+            # Match the module path's compute dtype (ADVICE r1 medium): a
+            # run configured fp32 must not silently drop to bf16 here.
+            compute_dtype = jnp.dtype(self.dtype or input_embs.dtype).name
             out = apply_fused_encoder(
                 params, input_embs, mask,
                 n_layers=self.n_layers,
                 n_heads=self.num_attention_heads,
                 drop_rate=self.dropout,
                 dropout_rng=rng,
+                compute_dtype=compute_dtype,
             )
             return out.astype(self.dtype or input_embs.dtype)
         return te(input_embs, mask, deterministic)

@@ -40,8 +40,11 @@ from jax.experimental.pallas import tpu as pltpu
 
 def _pick_batch_block(B, T, D):
     """Largest divisor of B whose double-buffered Q/K/V/O blocks plus one
-    head's fp32 scores stay well inside the 16 MB VMEM budget."""
-    best = 1
+    head's fp32 scores stay well inside the 16 MB VMEM budget.
+
+    Returns 0 when even a block of 1 image overflows the budget (very
+    large T); callers must then take the XLA module path (ADVICE r1)."""
+    best = 0
     for cand in range(1, min(B, 32) + 1):
         if B % cand:
             continue
@@ -163,7 +166,8 @@ def _make_fused_mha(H: int, B: int, T: int, D: int, dt_name: str,
 
 
 def supported(B: int, T: int, D: int, H: int) -> bool:
-    return D % H == 0 and (D // H) % 8 == 0 and B >= 1 and T >= 2
+    return (D % H == 0 and (D // H) % 8 == 0 and B >= 1 and T >= 2
+            and _pick_batch_block(B, T, D) > 0)
 
 
 def fused_mha(q: jnp.ndarray, k: jnp.ndarray, v: jnp.ndarray,
@@ -180,6 +184,14 @@ def fused_mha(q: jnp.ndarray, k: jnp.ndarray, v: jnp.ndarray,
     dt = q.dtype
     with_bias = key_bias is not None
     train = dropout_rng is not None and drop_rate > 0.0
+    if not supported(B, T, D, n_heads):
+        # Geometry the kernel cannot tile (e.g. T so large the block-1
+        # footprint overflows VMEM): identical-math XLA path.
+        if train:
+            raise NotImplementedError(
+                "fused_mha fallback with attention dropout; gate on "
+                "supported() and use the module path")
+        return _reference_mha(q, k, v, key_bias, n_heads, dt)
     fused = _make_fused_mha(n_heads, B, T, D, jnp.dtype(dt).name, with_bias,
                             float(drop_rate), train)
     if key_bias is None:

@@ -54,6 +54,19 @@ class CachedTrainer(TrainLoopMixin):
         self.mesh = mesh or make_mesh(cfg.mesh_shape)
         self.model = rec_model_from_config(cfg)
 
+        # The epoch scan gathers taps with mode="clip" (no out-of-bounds
+        # fill), which silently reads the nearest row on a bad id.  The
+        # dense-id invariant comes from preprocessing; enforce it once on
+        # the host so a corrupt/stale cache or seq file fails loudly
+        # instead of training on wrong features (ADVICE r1).
+        max_id = int(corpus.train_seqs.max()) if corpus.train_seqs.size else 0
+        for name, table in (("cv", cv_taps), ("text", text_taps)):
+            if max_id >= table.shape[0]:
+                raise ValueError(
+                    f"{name} tap table has {table.shape[0]} rows but the "
+                    f"training sequences reference item id {max_id}; cache "
+                    "and behaviors files are out of sync")
+
         # Data-parallel layout over the mesh (DDP analog, run.py:258):
         # params replicated, per-step batch sharded on its batch dim via the
         # permutation's second axis; XLA inserts the grad psum.  When the

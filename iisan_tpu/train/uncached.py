@@ -40,7 +40,7 @@ def build_uncached_model(cfg: IISANConfig):
     dtype = jnp.dtype(cfg.compute_dtype)
     text_tower, image_tower = towers_from_config(cfg, dtype)
     method = cfg.adapter_type if cfg.adding_adapter_to != "None" else "fft"
-    if "IISAN" in cfg.adapter_type and cfg.adding_adapter_to != "None":
+    if cfg.is_iisan():
         first = 1 if cfg.remove_first_bool else 0
         model = UncachedIISANModel(
             text_tower=text_tower,

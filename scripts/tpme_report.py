@@ -23,11 +23,11 @@ def main():
     merge = "--merge" in sys.argv[1:]
     methods = args or METHODS
     records = []
+    prior = {}
     if merge:
         # Start from prior results (fresher TPME_partial.json wins over
         # TPME.json) for methods NOT being re-measured now.
         import os
-        prior = {}
         if os.path.exists("TPME.json"):
             with open("TPME.json") as f:
                 for r in json.load(f)["records"]:
@@ -55,6 +55,11 @@ def main():
                     break
         if res.returncode != 0:
             print(f"  FAILED: {res.stderr[-1500:]}", file=sys.stderr)
+            if m in prior:
+                # Keep the previously measured record rather than dropping
+                # the method from the merged output (ADVICE r1).
+                print(f"  keeping prior record for {m}", flush=True)
+                records.append(prior[m])
             continue
         rec = json.loads(res.stdout.strip().splitlines()[-1])
         records.append(rec)
