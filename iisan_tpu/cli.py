@@ -41,8 +41,20 @@ def build_parser() -> argparse.ArgumentParser:
 
 
 def parse_config(argv=None) -> IISANConfig:
+    argv = list(sys.argv[1:] if argv is None else argv)
     args = build_parser().parse_args(argv)
     cfg = IISANConfig(**vars(args))
+    # --use_scale is the reference's AMP switch ('half' -> GradScaler,
+    # Code_Cached/run.py:355).  Our AMP analog is bf16 activations (the
+    # default); a non-'half' use_scale means full-precision training, so
+    # map it to fp32 activations unless --compute_dtype was given
+    # explicitly.
+    explicit_dtype = any(a.startswith("--compute_dtype") for a in argv)
+    if "half" not in cfg.use_scale and not explicit_dtype:
+        cfg = cfg.replace(compute_dtype="float32")
+    from .train.pipelines import validate_config
+
+    validate_config(cfg)
     return cfg.with_bert_dims()
 
 

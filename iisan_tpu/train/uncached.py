@@ -122,7 +122,10 @@ class UncachedTrainer(TrainLoopMixin):
         self.params = variables["params"]
         if tower_params:
             self.params = _graft_tower_params(self.params, tower_params)
-        self.mask = trainable_mask(self.params, self.method)
+        self.mask = trainable_mask(
+            self.params, self.method,
+            finetune_layernorm="None" not in cfg.finetune_layernorm,
+            freeze_paras_before=cfg.freeze_paras_before)
         self.tx = build_optimizer(cfg, self.params, trainable_mask=self.mask)
         log_group_sizes(cfg, self.params, self.mask)
         self.params = jax.tree_util.tree_map(
