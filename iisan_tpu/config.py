@@ -159,6 +159,12 @@ class IISANConfig:
     # where one kernel per direction beats ~200 XLA ops - see the measured
     # numbers in ops/fused_user_encoder.py.
     fused_user_encoder: bool = True
+    # Tower dropout override: <0 keeps the HF defaults (BERT hidden/attn
+    # 0.1, ViT 0.0 — the reference runs its frozen towers un-eval()ed, so
+    # BERT dropout IS active during uncached training); >=0 forces the
+    # rate.  0.0 makes the uncached forward deterministic — required for
+    # the cached==uncached equivalence test and useful for debugging.
+    tower_dropout: float = -1.0
     log_dir: str = "./logs"
     ckpt_dir: str = "./checkpoints"
     # Persist epoch checkpoints on new best / every 10th epoch, process 0

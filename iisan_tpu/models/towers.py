@@ -215,6 +215,7 @@ def towers_from_config(cfg, dtype=None):
     }
     if cfg.adapter_type == "houslby" and cfg.adding_adapter_to != "None":
         peft["houlsby_down"] = cfg.bert_adapter_down_size
+    td = getattr(cfg, "tower_dropout", -1.0)
     bert = BertEncoder(
         hidden_dim=cfg.word_embedding_dim,
         num_layers=cfg.text_layers,
@@ -223,6 +224,7 @@ def towers_from_config(cfg, dtype=None):
         dtype=dtype,
         remat=cfg.remat_towers,
         collect="cls",
+        dropout=td if td >= 0 else 0.1,
         fused_attention=cfg.is_iisan()
         and getattr(cfg, "fused_tower_attention", True),
         **peft,
@@ -239,6 +241,7 @@ def towers_from_config(cfg, dtype=None):
         dtype=dtype,
         remat=cfg.remat_towers,
         collect="cls",
+        dropout=td if td >= 0 else 0.0,
         # The fused attention kernel has no VJP under active dropout;
         # enable it only for the frozen-tower IISAN path where gradients
         # stop at the tap boundary (cfg.is_iisan() — same predicate that

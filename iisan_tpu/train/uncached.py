@@ -284,7 +284,8 @@ class UncachedTrainer(TrainLoopMixin):
                 self.params, self.opt_state, self.rng, ids,
                 images, tokens, mask, self.pop_prob)
             losses.append(loss)
-        return float(jnp.mean(jnp.stack(losses)))
+        self._last_step_losses = jnp.stack(losses)  # CachedTrainer parity
+        return float(jnp.mean(self._last_step_losses))
 
     # ------------------------------------------------------------------
     def item_embedding_tables(self, batch: int = 256):
