@@ -6,8 +6,10 @@ decodes+resizes+normalizes per sample inside DataLoader workers
 (Code_Uncached/data_utils/dataset.py:123-144).  Uncached training is
 dataloader-bound (11 images x 224^2 per sample), so this module provides:
 
-  * ``LmdbImageStore`` - reads the reference's exact LMDB format (gated on
-    the optional ``lmdb`` package);
+  * ``LmdbImageStore`` - reads the reference's exact LMDB format via the
+    ``lmdb`` package when installed; on hosts without liblmdb the
+    pure-Python shim backend (lmdb_shim.py) provides the same API over a
+    shim file format so the logic still runs (docs/PARITY.md);
   * ``DirImageStore`` - plain directory of JPEG/PNG files keyed by item
     name (no LMDB dependency);
   * ``SyntheticImageStore`` - deterministic random images for CI/bench;
@@ -35,9 +37,12 @@ import numpy as np
 try:  # optional: the reference's storage backend
     import lmdb  # type: ignore
     HAS_LMDB = True
-except ImportError:  # pragma: no cover - environment without lmdb
-    lmdb = None
-    HAS_LMDB = False
+    LMDB_IS_SHIM = False
+except ImportError:  # no liblmdb in this environment: pure-Python shim
+    from . import lmdb_shim as lmdb  # type: ignore
+
+    HAS_LMDB = True
+    LMDB_IS_SHIM = True
 
 
 def _resize_u8(img_u8: np.ndarray, resize: int) -> np.ndarray:
@@ -88,8 +93,6 @@ class LmdbImageStore:
     Code_Cached/data_utils/preprocess.py:105)."""
 
     def __init__(self, db_path: str, resize: int = 224, strip_v: bool = False):
-        if not HAS_LMDB:
-            raise ImportError("lmdb package not available; use DirImageStore")
         self.env = lmdb.open(db_path, subdir=os.path.isdir(db_path),
                              readonly=True, lock=False, readahead=False,
                              meminit=False)
@@ -205,9 +208,9 @@ class ParallelImageLoader:
 def build_lmdb(items_tsv: str, image_dir: str, out_path: str,
                commit_every: int = 5000):
     """Build the reference-layout LMDB from a directory of JPEGs -
-    capability parity with Dataset/build_lmdb.py:25-86 (requires lmdb)."""
-    if not HAS_LMDB:
-        raise ImportError("lmdb package not available")
+    capability parity with Dataset/build_lmdb.py:25-86.  Uses the real
+    ``lmdb`` package when installed, else the pure-Python shim backend
+    (data/lmdb_shim.py; same record layout, different file format)."""
     import pandas as pd
     from PIL import Image
 
