@@ -220,6 +220,23 @@ class IISANConfig:
     def gated(self) -> bool:
         return self.fusion_method == "gated"
 
+    # -------- multi-attribute text packing (preprocess.py:153-194,
+    # encoders.py:116-136: fixed title -> abstract -> body block order) ----
+    def active_text_attributes(self) -> Tuple[str, ...]:
+        return tuple(a for a in ("title", "abstract", "body")
+                     if a in self.news_attributes)
+
+    def attr_num_words(self) -> Tuple[int, ...]:
+        words = {"title": self.num_words_title,
+                 "abstract": self.num_words_abstract,
+                 "body": self.num_words_body}
+        return tuple(words[a] for a in self.active_text_attributes())
+
+    def packed_text_width(self) -> int:
+        """Total width of the packed [ids|mask]*attrs text row
+        (Bert_Encoder.attributes2length, encoders.py:120-124)."""
+        return sum(2 * w for w in self.attr_num_words())
+
     @property
     def text_num_hidden(self) -> int:
         """Rows of the per-item cached text tensor (= layers + embeddings)."""

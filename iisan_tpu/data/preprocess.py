@@ -207,6 +207,57 @@ def tokenize_titles(
     return out
 
 
+def read_item_attributes(path: str) -> Dict[str, Dict[int, str]]:
+    """Item TSV -> per-attribute text dicts {attr: {id: text}}.
+
+    The shipped reference TSVs are two-column (name, title); columns 3/4
+    are read as abstract/body when present.  NOTE the reference's own
+    read_news_bert crashes (NameError) if 'abstract'/'body' are requested
+    — those variables are never assigned (preprocess.py:138-145); this is
+    the corrected implementation of that latent capability.
+    """
+    out = {"title": {}, "abstract": {}, "body": {}}
+    idx = 1
+    with open(path, "r") as f:
+        for line in f:
+            parts = line.rstrip("\n").split("\t")
+            out["title"][idx] = parts[1] if len(parts) > 1 else ""
+            out["abstract"][idx] = parts[2] if len(parts) > 2 else ""
+            out["body"][idx] = parts[3] if len(parts) > 3 else ""
+            idx += 1
+    return out
+
+
+def tokenize_attributes(
+    attr_texts: Dict[str, Dict[int, str]],
+    tokenizer,
+    attributes: "Tuple[str, ...]",
+    attr_words: "Tuple[int, ...]",
+) -> np.ndarray:
+    """Packed multi-attribute layout: for each active attribute, in the
+    fixed title -> abstract -> body order, ``num_words`` ids followed by
+    ``num_words`` mask entries (get_doc_input_bert concat order +
+    Bert_Encoder.attributes2start, encoders.py:120-136).  Row 0 is the
+    padding item.  Body text is truncated to 2000 chars before tokenizing
+    (preprocess.py:144).
+    """
+    n = len(attr_texts["title"]) + 1
+    width = sum(2 * w for w in attr_words)
+    out = np.zeros((n, width), dtype=np.int32)
+    start = 0
+    for attr, nw in zip(attributes, attr_words):
+        texts = [attr_texts[attr][i].lower() for i in range(1, n)]
+        if attr == "body":
+            texts = [t[:2000] for t in texts]
+        enc = tokenizer(texts, max_length=nw, padding="max_length",
+                        truncation=True)
+        out[1:, start:start + nw] = np.asarray(enc["input_ids"], np.int32)
+        out[1:, start + nw:start + 2 * nw] = np.asarray(
+            enc["attention_mask"], np.int32)
+        start += 2 * nw
+    return out
+
+
 def tokenize_titles_llama(
     item_id_to_title: Dict[int, str],
     tokenizer,

@@ -42,19 +42,41 @@ from .vit import ViTEncoder
 
 
 class TextTower(nn.Module):
-    """BERT + CLS head (Text_Encoder, encoders.py:61-83)."""
+    """BERT + CLS head (Text_Encoder, encoders.py:61-83).
+
+    Multi-attribute mode (Bert_Encoder, encoders.py:116-155): when
+    ``attr_num_words`` lists more than one attribute, the packed input is
+    split at the attributes2start offsets, every block runs through the
+    SAME shared bert + fc (the reference reuses its 'title' Text_Encoder
+    for all attributes, encoders.py:139-141), and the final vector is the
+    mean over attributes (encoders.py:157).  Hidden states come from the
+    title block — the reference's own multi-attribute hiddens path is a
+    latent NameError (``all_layer_hidden_states`` unassigned in the else
+    branch, encoders.py:152-158); we return a defined value instead.
+    """
 
     bert: BertEncoder
     embedding_dim: int
     num_words: int  # num_words_title; input is packed [ids | mask] of 2x
+    attr_num_words: Tuple[int, ...] = ()  # multi-attr widths; () = title only
 
     @nn.compact
     def __call__(self, tokens, deterministic: bool = True):
-        ids = tokens[:, : self.num_words]
-        mask = tokens[:, self.num_words:]
-        last, hiddens = self.bert(ids, mask, deterministic)
-        cls = TorchLinear(self.embedding_dim, name="fc")(last[:, 0])
-        return nn.gelu(cls, approximate=False), hiddens
+        widths = self.attr_num_words or (self.num_words,)
+        fc = TorchLinear(self.embedding_dim, name="fc")
+        vecs, hiddens0 = [], None
+        start = 0
+        for nw in widths:
+            ids = tokens[:, start: start + nw]
+            mask = tokens[:, start + nw: start + 2 * nw]
+            last, hiddens = self.bert(ids, mask, deterministic)
+            vecs.append(nn.gelu(fc(last[:, 0]), approximate=False))
+            if hiddens0 is None:
+                hiddens0 = hiddens
+            start += 2 * nw
+        if len(vecs) == 1:
+            return vecs[0], hiddens0
+        return jnp.mean(jnp.stack(vecs, axis=1), axis=1), hiddens0
 
 
 class ImageTower(nn.Module):
@@ -250,7 +272,9 @@ def towers_from_config(cfg, dtype=None):
         and getattr(cfg, "fused_tower_attention", True),
         **vit_peft,
     )
+    attrs = cfg.attr_num_words() if hasattr(cfg, "attr_num_words") else ()
     text_tower = TextTower(bert=bert, embedding_dim=cfg.embedding_dim,
-                           num_words=cfg.num_words_title)
+                           num_words=cfg.num_words_title,
+                           attr_num_words=attrs if len(attrs) > 1 else ())
     image_tower = ImageTower(vit=vit, embedding_dim=cfg.embedding_dim)
     return text_tower, image_tower

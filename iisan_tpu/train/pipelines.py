@@ -50,7 +50,15 @@ def load_corpus(cfg: IISANConfig) -> Tuple[prep.Corpus, Optional[np.ndarray]]:
     token_table = None
     if cfg.pipeline in ("uncached", "fft") and cfg.item_tower != "id":
         tok = load_tokenizer(cfg)
-        full = prep.tokenize_titles(titles, tok, cfg.num_words_title)
+        attrs = cfg.active_text_attributes()
+        if attrs == ("title",):
+            full = prep.tokenize_titles(titles, tok, cfg.num_words_title)
+        else:
+            # Multi-attribute packing (title+abstract+body,
+            # preprocess.py:153-194 / encoders.py:116-136).
+            attr_texts = prep.read_item_attributes(items_path)
+            full = prep.tokenize_attributes(attr_texts, tok, attrs,
+                                            cfg.attr_num_words())
         token_table = prep.remap_token_table(full, corpus.item_names, name_to_id)
     return corpus, token_table
 

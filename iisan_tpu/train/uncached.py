@@ -113,7 +113,9 @@ class UncachedTrainer(TrainLoopMixin):
         dummy = (
             jnp.zeros((2, L + 1), jnp.int32),
             jnp.zeros((n, cfg.CV_resize, cfg.CV_resize, 3), jnp.float32),
-            jnp.zeros((n, 2 * cfg.num_words_title), jnp.int32),
+            jnp.zeros((n, cfg.packed_text_width()
+                       if hasattr(cfg, "packed_text_width")
+                       else 2 * cfg.num_words_title), jnp.int32),
             jnp.zeros((2, L), jnp.float32),
         )
         variables = self.model.init(
