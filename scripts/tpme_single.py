@@ -54,6 +54,8 @@ def measure_cached():
     return {
         "label": "iisan_cached",
         "epoch_seconds": float(np.median(times)),
+        "epoch_seconds_basis": "MEASURED full epochs at Scientific scale "
+                               "(12,076 users; median of 3)",
         "trainable_params": trainable_param_count(tr),
         "memory_bytes": mem,
         "batch_size": cfg.batch_size,
@@ -99,9 +101,34 @@ def measure_uncached(method: str):
     tr = UncachedTrainer(cfg, corpus, tokens, SyntheticImageStore(224))
     b = tr.device_bench(n_steps=8)
     steps_per_epoch = -(-SCIENTIFIC_USERS // cfg.batch_size)
+
+    # Real host-fed epochs through run_epoch + the actual image loader
+    # (VERDICT r1 weak #1: no uncached method had ever run a true epoch).
+    # First epoch compiles the per-batch step; the second is the timed one.
+    import jax
+
+    tr.run_epoch(0)
+    jax.block_until_ready(tr.params)
+    t0 = time.time()
+    tr.run_epoch(1)
+    jax.block_until_ready(tr.params)
+    e2e_wall = time.time() - t0
+
     return {
         "label": method,
         "epoch_seconds": b["seconds_per_step"] * steps_per_epoch,
+        "epoch_seconds_basis":
+            f"device-bound jitted-scan step x {steps_per_epoch} steps "
+            "(EXTRAPOLATED to the Scientific epoch; the consistent "
+            "cross-method basis the TPME score uses)",
+        "epoch_seconds_e2e": e2e_wall * (SCIENTIFIC_USERS / corpus.n_users),
+        "epoch_seconds_e2e_basis":
+            f"MEASURED host-fed run_epoch over {corpus.n_users} users "
+            f"({e2e_wall:.1f}s wall) scaled linearly to "
+            f"{SCIENTIFIC_USERS} users; host feed is tunnel/1-core-"
+            "limited in this environment (docs/ROUND2_NOTES.md)",
+        "e2e_measured_users": corpus.n_users,
+        "e2e_measured_seconds": e2e_wall,
         "trainable_params": trainable_param_count(tr),
         "memory_bytes": b["memory_bytes"],
         "batch_size": cfg.batch_size,

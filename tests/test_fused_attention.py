@@ -179,3 +179,28 @@ def test_tpu_uncached_loss_parity_with_kernels():
             deterministic=True))
     assert abs(losses[True] - losses[False]) / abs(losses[False]) < 5e-3, \
         losses
+
+
+def test_supported_rejects_vmem_overflow_geometry():
+    """ADVICE r1: a T so large that even a block of one image overflows
+    VMEM must be rejected by supported() (the caller then takes the XLA
+    module path) instead of compiling an overflowing kernel."""
+    assert fa._pick_batch_block(352, 197, 768) > 0   # ViT-base geometry
+    assert fa._pick_batch_block(8, 20000, 768) == 0  # ~3 GB of scores
+    assert fa.supported(352, 197, 768, 12)
+    assert not fa.supported(8, 20000, 768, 8)
+
+
+@cpu_only
+def test_fused_mha_falls_back_on_unsupported_geometry():
+    """fused_mha on an unsupported (huge-T) geometry routes to the
+    identical-math XLA path rather than building a kernel."""
+    B, T, D, H = 1, 4100, 64, 8
+    assert not fa.supported(B, T, D, H)
+    rng = np.random.default_rng(0)
+    q = jnp.asarray(rng.standard_normal((B, T, D)), jnp.float32)
+    k = jnp.asarray(rng.standard_normal((B, T, D)), jnp.float32)
+    v = jnp.asarray(rng.standard_normal((B, T, D)), jnp.float32)
+    out = fa.fused_mha(q, k, v, H)
+    want = fa._reference_mha(q, k, v, None, H, jnp.float32)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(want), atol=1e-5)
