@@ -142,6 +142,11 @@ class IISANConfig:
     # stays off at all geometries; the kernels remain correct (tested,
     # custom VJP) as an option and a base for future fusion work.
     use_pallas: bool = False
+    # Run the two symmetric intra cascades as one (2, ...)-batched loop of
+    # dot_generals (ops/fused_san.py::dual_reference_cascade): halves the
+    # cascade's op count on the latency-bound cached step.  Numerics are
+    # identical; default set by in-context A/B measurement on v5e.
+    batch_intra_branches: bool = False
     # Rematerialize tower layers in the uncached backward pass
     # (jax.checkpoint): trades recompute FLOPs for HBM headroom.
     remat_towers: bool = False

@@ -76,6 +76,7 @@ class SideAdapterNetwork(nn.Module):
     modality: str = "intra_inter"
     head_mode: str = "cached"  # "cached": fc(D->D)+pre_fc(D->emb); "asym": fc(D->emb)+pre_fc(emb->emb)
     use_pallas: bool = False  # fused TPU cascade kernel for intra branches
+    batch_intra: bool = False  # run both intra cascades as one batched loop
     dtype: Optional[Any] = None
 
     def _gate(self, theta):
@@ -161,21 +162,43 @@ class SideAdapterNetwork(nn.Module):
         # joint loop (model.py:318-332) are the same recurrence for intra,
         # so they fuse into a single kernel invocation per branch.
         if intra:
-            from ..ops.fused_san import fused_cascade, reference_cascade
+            from ..ops.fused_san import (dual_reference_cascade,
+                                         fused_cascade, reference_cascade)
 
             # fused_cascade internally dispatches between the all-weights-
             # resident kernel and the step-streamed wide-D kernel.
             use_fused = self.use_pallas and jax.default_backend() == "tpu"
-            run = fused_cascade if use_fused else reference_cascade
+            symmetric = (kt == kc and self.text_dim == self.image_dim
+                         and self.bert_down_size == self.cv_down_size)
+            if self.batch_intra and symmetric and not use_fused:
+                # Latency optimization: both branch cascades as one loop of
+                # (2, ...)-batched matmuls — halves the cascade's op count
+                # on the latency-bound cached step (numerics unchanged).
+                stack2 = {key: jnp.stack([text_stack[key], cv_stack[key]]
+                                         ).astype(dtype)
+                          for key in ("wd", "bd", "wu", "bu")}
+                out2 = dual_reference_cascade(
+                    jnp.stack([gates_text, gates_cv]),
+                    jnp.stack([text_taps, cv_taps]),
+                    stack2["wd"], stack2["bd"], stack2["wu"], stack2["bu"],
+                    jnp.stack([carry_text, carry_cv]),
+                    activation=self.activation, gated=self.gated)
+                carry_text, carry_cv = out2[0], out2[1]
+            else:
+                run = fused_cascade if use_fused else reference_cascade
 
-            def cascade(gates, stack, taps, c0):
-                return run(gates, taps,
-                           stack["wd"].astype(dtype), stack["bd"].astype(dtype),
-                           stack["wu"].astype(dtype), stack["bu"].astype(dtype),
-                           c0, activation=self.activation, gated=self.gated)
+                def cascade(gates, stack, taps, c0):
+                    return run(gates, taps,
+                               stack["wd"].astype(dtype),
+                               stack["bd"].astype(dtype),
+                               stack["wu"].astype(dtype),
+                               stack["bu"].astype(dtype),
+                               c0, activation=self.activation,
+                               gated=self.gated)
 
-            carry_text = cascade(gates_text, text_stack, text_taps, carry_text)
-            carry_cv = cascade(gates_cv, cv_stack, cv_taps, carry_cv)
+                carry_text = cascade(gates_text, text_stack, text_taps,
+                                     carry_text)
+                carry_cv = cascade(gates_cv, cv_stack, cv_taps, carry_cv)
 
         if inter:
             # Inter branch (model.py:334-338 / asym model.py:398-417).
@@ -235,5 +258,6 @@ def san_from_config(cfg, head_mode: Optional[str] = None) -> SideAdapterNetwork:
         modality=cfg.modality,
         head_mode=head_mode or ("asym" if cfg.pipeline == "cached_asym" else "cached"),
         use_pallas=cfg.use_pallas,
+        batch_intra=getattr(cfg, "batch_intra_branches", False),
         dtype=jnp.dtype(cfg.compute_dtype),
     )

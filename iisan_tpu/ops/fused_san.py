@@ -385,3 +385,39 @@ def reference_cascade(gates, taps, wd, bd, wu, bu, c0, activation="RELU",
     xs = (gates.astype(jnp.float32), taps.transpose(1, 0, 2), wd, bd, wu, bu)
     c, _ = jax.lax.scan(step, c0, xs)
     return c
+
+
+def dual_reference_cascade(gates2, taps2, wd2, bd2, wu2, bu2, c02,
+                           activation="RELU", gated=True):
+    """Both intra cascades (text + cv) as ONE unrolled loop of batched
+    matmuls.
+
+    The cached step is latency-bound op soup (~465 HLO ops/step), so at
+    the symmetric base geometry (same K, D, R on both branches —
+    Code_Cached/scripts/run_IISAN.py:27-49) running the two branch
+    cascades as (2, ...)-batched dot_generals halves the cascade's op
+    count without changing a single float: each branch still sees exactly
+    its own gates/weights/taps.
+
+    Shapes: gates2 (2, K); taps2 (2, N, K, D); wd2 (2, K, D, R);
+    bd2 (2, K, R); wu2 (2, K, R, D); bu2 (2, K, D); c02 (2, N, D).
+    Returns (2, N, D) final carries.
+    """
+    dtype = c02.dtype
+    k = taps2.shape[2]
+    c = c02
+    batch_mm = lambda a, b: jax.lax.dot_general(
+        a, b, (((2,), (1,)), ((0,), (0,))),
+        preferred_element_type=jnp.float32)
+    for i in range(k):
+        if gated:
+            g = jax.nn.sigmoid(gates2[:, i] / GATE_TEMPERATURE)  # (2,)
+            f = (g[:, None, None] * taps2[:, :, i, :].astype(jnp.float32)
+                 + (1.0 - g)[:, None, None] * c.astype(jnp.float32)
+                 ).astype(dtype)
+        else:
+            f = taps2[:, :, i, :] + c
+        z = batch_mm(f, wd2[:, i]) + bd2[:, i][:, None, :]
+        a = _act(z, activation).astype(dtype)
+        c = (batch_mm(a, wu2[:, i]) + bu2[:, i][:, None, :]).astype(dtype) + f
+    return c

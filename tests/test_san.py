@@ -181,3 +181,39 @@ def test_inter_branch_bottleneck_size(text_dim, image_dim, want_down):
     mm_dim = min(text_dim, image_dim)
     assert params["mm_adapter_list_0"]["fc_down"]["kernel"].shape == \
         (mm_dim, want_down)
+
+
+def test_batch_intra_branches_identical_numerics():
+    """dual_reference_cascade (batched dual-branch loop) must equal the
+    per-branch cascades bit-for-bit in structure and to fp32 tolerance in
+    value, for gated and additive fusion."""
+    import jax
+    import jax.numpy as jnp
+
+    from iisan_tpu.models.san import SideAdapterNetwork
+
+    rng = np.random.default_rng(0)
+    n, k, d, r = 6, 3, 16, 4
+    cv = jnp.asarray(rng.standard_normal((n, k, d)), jnp.float32)
+    text = jnp.asarray(rng.standard_normal((n, k, d)), jnp.float32)
+    for gated in (True, False):
+        kw = dict(embedding_dim=8, text_dim=d, image_dim=d,
+                  num_text_taps=k, num_image_taps=k,
+                  bert_down_size=r, cv_down_size=r,
+                  gated=gated, modality="intra_inter",
+                  dtype=jnp.float32)
+        base = SideAdapterNetwork(batch_intra=False, **kw)
+        dual = SideAdapterNetwork(batch_intra=True, **kw)
+        params = base.init(jax.random.PRNGKey(0), cv, text)["params"]
+        # perturb params off init so the comparison is non-trivial
+        params = jax.tree_util.tree_map(
+            lambda x: x + 0.1 * np.random.default_rng(1).standard_normal(
+                x.shape).astype(x.dtype), params)
+        out_a = base.apply({"params": params}, cv, text)
+        out_b = dual.apply({"params": params}, cv, text)
+        for a, b in zip(out_a, out_b):
+            if a is None:
+                assert b is None
+                continue
+            np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                       rtol=1e-5, atol=1e-6)
