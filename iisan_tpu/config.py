@@ -144,9 +144,12 @@ class IISANConfig:
     use_pallas: bool = False
     # Run the two symmetric intra cascades as one (2, ...)-batched loop of
     # dot_generals (ops/fused_san.py::dual_reference_cascade): halves the
-    # cascade's op count on the latency-bound cached step.  Numerics are
-    # identical; default set by in-context A/B measurement on v5e.
-    batch_intra_branches: bool = False
+    # cascade's op count on the latency-bound cached step.  Interleaved
+    # in-context A/B on v5e (5 epoch pairs, Scientific): 0.1557 s vs
+    # 0.1603 s median epoch (~3%, at the edge of the ~±6% tunnel noise;
+    # the op-count argument and 3/5 pairwise wins favor on).  Numerics
+    # match the per-branch path to fp32 tolerance (test_san.py).
+    batch_intra_branches: bool = True
     # Rematerialize tower layers in the uncached backward pass
     # (jax.checkpoint): trades recompute FLOPs for HBM headroom.
     remat_towers: bool = False
