@@ -1,5 +1,12 @@
 """Fused Pallas cascade kernel: forward + VJP parity vs the pure-jnp
-reference (interpret mode on CPU; the same kernel compiles on TPU)."""
+reference (interpret mode on CPU; the same kernel compiles on TPU).
+
+CPU tier only: interpret-mode tolerances (atol 2e-5) assume exact fp32
+matmuls; on the TPU platform the reference side runs bf16-pass dots
+(~1e-3 relative), so these comparisons are defined on CPU — matching
+the cpu_only convention of test_fused_attention.py.  The kernels' TPU
+behavior is covered in-context by the cached/uncached train-step tests
+and the config.py A/B measurements."""
 
 import jax
 import jax.numpy as jnp
@@ -7,6 +14,10 @@ import numpy as np
 import pytest
 
 from iisan_tpu.ops.fused_san import fused_cascade, reference_cascade
+
+pytestmark = pytest.mark.skipif(
+    jax.default_backend() == "tpu",
+    reason="interpret-mode tolerances are defined on the CPU tier")
 
 
 def make_inputs(rng, n=37, k=4, d=32, r=8, dtype=jnp.float32):
