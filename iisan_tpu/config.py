@@ -153,6 +153,11 @@ class IISANConfig:
     # Rematerialize tower layers in the uncached backward pass
     # (jax.checkpoint): trades recompute FLOPs for HBM headroom.
     remat_towers: bool = False
+    # Fuse the training epoch, the catalog item-table build, and the valid
+    # eval scan into ONE jitted dispatch per epoch (CachedTrainer).  Saves
+    # two host->device dispatch round-trips per epoch and lets XLA overlap
+    # the phases; numerics identical to run_epoch + evaluate_split.
+    fused_epoch_eval: bool = True
     # lax.scan unroll factor for the cached epoch loop: >1 lets XLA overlap
     # the per-step gathers/updates across steps at the cost of compile time.
     epoch_scan_unroll: int = 1

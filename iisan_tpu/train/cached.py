@@ -118,6 +118,10 @@ class CachedTrainer(TrainLoopMixin):
         self.opt_state = jax.tree_util.tree_map(
             lambda x: self._put(x, self._repl), self.tx.init(self.params))
         self._epoch_fn = self._build_epoch_fn()
+        self._epoch_eval_fn = None
+        if getattr(cfg, "fused_epoch_eval", True):
+            self._valid_eval_batches = self._prep_eval_batches("valid")
+            self._epoch_eval_fn = self._build_epoch_eval_fn()
 
         n_params = sum(x.size for x in jax.tree_util.tree_leaves(self.params))
         log.info("##### trainable_num %d #####", n_params)
@@ -136,7 +140,9 @@ class CachedTrainer(TrainLoopMixin):
         return jax.device_put(x, sharding)
 
     # ------------------------------------------------------------------
-    def _build_epoch_fn(self):
+    def _make_scan_core(self):
+        """Unjitted epoch body shared by _build_epoch_fn (train-only
+        dispatch) and _build_epoch_eval_fn (fused train+eval dispatch)."""
         model, tx = self.model, self.tx
 
         def loss_fn(params, cv, text, ids, mask, pop_prob, rng):
@@ -167,8 +173,7 @@ class CachedTrainer(TrainLoopMixin):
 
         unroll = max(self.cfg.epoch_scan_unroll, 1)
 
-        @functools.partial(jax.jit, donate_argnums=(0, 1))
-        def epoch_fn(params, opt_state, rng, perm, tables):
+        def scan_core(params, opt_state, rng, perm, tables):
             # perm: (steps, batch) shuffled user indices.  The per-step
             # (batch, L+1) id / (batch, L) mask gathers are hoisted out of
             # the scan into one whole-epoch gather (~1 MB resident): inside
@@ -184,7 +189,120 @@ class CachedTrainer(TrainLoopMixin):
                 unroll=unroll)
             return params, opt_state, rng, loss_sum / perm.shape[0], losses
 
-        return epoch_fn
+        return scan_core
+
+    def _build_epoch_fn(self):
+        return jax.jit(self._make_scan_core(), donate_argnums=(0, 1))
+
+    # ------------------------------------------------------------------
+    def _prep_eval_batches(self, split: str):
+        """Stacked (S, B, ...) eval arrays, wrap-padded like eval/evaluate.py
+        (repeat-last-row padding, the SequentialDistributedSampler analog),
+        device-resident once."""
+        c = self.corpus
+        if split == "valid":
+            arrays = (c.valid_tokens, c.valid_log_mask, c.valid_target,
+                      c.valid_history)
+        else:
+            arrays = (c.test_tokens, c.test_log_mask, c.test_target,
+                      c.test_history)
+        bs = self.cfg.eval_batch_size
+        n = arrays[0].shape[0]
+        n_pad = ((n + bs - 1) // bs) * bs
+        pad = n_pad - n
+
+        def prep(x):
+            x = np.asarray(x)
+            if pad:
+                x = np.concatenate([x, np.repeat(x[-1:], pad, axis=0)], 0)
+            x = x.reshape(n_pad // bs, bs, *x.shape[1:])
+            from jax.sharding import NamedSharding, PartitionSpec as P
+
+            n_data = self.mesh.shape.get("data", 1)
+            spec = P(None, "data") if bs % n_data == 0 else P()
+            return self._put(x, NamedSharding(self.mesh, spec))
+
+        return tuple(prep(x) for x in arrays) + (n,)
+
+    def _build_epoch_eval_fn(self):
+        """ONE dispatch per epoch: train scan + item tables + eval scan.
+
+        The reference runs train, get_MM_item_embeddings and eval_model as
+        separate phases (run.py:368-405); computationally they chain with
+        no host decision in between, so fusing them saves two dispatch
+        round-trips per epoch (~30 ms each over this tunnel) and lets XLA
+        overlap the table build with the tail of the epoch scan.
+        Numerics are identical to run_epoch + evaluate_split.
+        """
+        from ..ops.metrics import hit_ndcg_at_k, mask_history
+
+        model = self.model
+        scan_epoch = self._make_scan_core()
+        chunk = 8192
+
+        @functools.partial(jax.jit, donate_argnums=(0, 1),
+                           static_argnums=(5,))
+        def epoch_eval_fn(params, opt_state, rng, perm, tables, n_users,
+                          eval_batches):
+            cv_table, text_table, seqs, log_mask, pop_prob = tables
+            params, opt_state, rng, mean_loss, losses = scan_epoch(
+                params, opt_state, rng, perm, tables)
+
+            # ---- item tables (compute_item_tables, in-graph) ----------
+            n_items = cv_table.shape[0]
+            n_pad = ((n_items + chunk - 1) // chunk) * chunk
+            cv_p = jnp.pad(cv_table, ((0, n_pad - n_items), (0, 0), (0, 0)))
+            tx_p = jnp.pad(text_table, ((0, n_pad - n_items), (0, 0), (0, 0)))
+
+            def emb(args):
+                cv, tx = args
+                e_cv, e_tx, e_mm = model.apply(
+                    {"params": params}, cv, tx,
+                    method=model.item_embeddings)
+                return model.apply({"params": params}, e_cv, e_tx, e_mm,
+                                   method=model.fuse_embeddings)
+
+            fused = jax.lax.map(
+                emb, (cv_p.reshape(n_pad // chunk, chunk, *cv_table.shape[1:]),
+                      tx_p.reshape(n_pad // chunk, chunk, *text_table.shape[1:])))
+            fused_table = fused.reshape(n_pad, -1)[:n_items]
+
+            # ---- eval scan (eval/evaluate.py::_eval_scan, in-graph) ---
+            tokens, lmask, target, history = eval_batches
+
+            def body(_, batch):
+                t, m, tg, h = batch
+                input_embs = jnp.take(fused_table, t, axis=0)
+                prec = model.apply({"params": params}, input_embs, m,
+                                   method=model.user_scores)[:, -1, :]
+                scores = jnp.dot(prec.astype(jnp.float32),
+                                 fused_table.T.astype(jnp.float32),
+                                 preferred_element_type=jnp.float32)
+                scores = mask_history(scores, h)
+                scores = scores[:, 1:]
+                return None, hit_ndcg_at_k(scores, tg - 1, k=10)
+
+            _, out = jax.lax.scan(body, None, (tokens, lmask, target, history))
+            metrics = out.reshape(-1, 2)[:n_users]
+            hit, ndcg = jnp.mean(metrics, axis=0)
+            return params, opt_state, rng, mean_loss, losses, hit, ndcg
+
+        return epoch_eval_fn
+
+    def run_epoch_with_eval(self, epoch: int):
+        """Fused epoch + valid eval in one dispatch; returns
+        (loss, hit, ndcg).  Falls back to None when disabled."""
+        if self._epoch_eval_fn is None:
+            return None
+        perm = self._put(self.epoch_permutation(epoch), self._perm_sh)
+        tables = (self.cv_table, self.text_table, self.train_seqs,
+                  self.train_log_mask, self.pop_prob)
+        *ev, n_users = self._valid_eval_batches
+        (self.params, self.opt_state, self.rng, mean_loss, losses, hit,
+         ndcg) = self._epoch_eval_fn(self.params, self.opt_state, self.rng,
+                                     perm, tables, n_users, tuple(ev))
+        self._last_step_losses = losses
+        return float(mean_loss), float(hit), float(ndcg)
 
     # ------------------------------------------------------------------
     def epoch_permutation(self, epoch: int) -> np.ndarray:

@@ -60,12 +60,21 @@ class TrainLoopMixin:
         res = TrainResult(0.0, 0.0, 0, 0)
         max_hit10, early_stop_count = 0.0, 0
         start = time.time()
+        # Cached trainers fuse epoch + valid eval into one device dispatch
+        # (CachedTrainer.run_epoch_with_eval); others run them separately.
+        fused_ee = getattr(self, "run_epoch_with_eval", None)
         for ep in range(cfg.epoch):
             now_epoch = start_epoch + ep + 1
             t0 = time.time()
-            loss = self.run_epoch(now_epoch)
-            jax.block_until_ready(self.params)
-            epoch_time = time.time() - t0
+            fused_out = fused_ee(now_epoch) if fused_ee is not None else None
+            if fused_out is not None:
+                loss, hit, ndcg = fused_out
+                jax.block_until_ready(self.params)
+                epoch_time = time.time() - t0
+            else:
+                loss = self.run_epoch(now_epoch)
+                jax.block_until_ready(self.params)
+                epoch_time = time.time() - t0
             res.epoch_times.append(epoch_time)
             res.losses.append(loss)
             import math
@@ -74,7 +83,8 @@ class TrainLoopMixin:
                 break
             self._log_step_losses(now_epoch)
             eval_t0 = time.time()
-            hit, ndcg = self.evaluate_split("valid")
+            if fused_out is None:
+                hit, ndcg = self.evaluate_split("valid")
             from ..utils.profiling import report_time_eval
             report_time_eval(eval_t0)  # utils.py:125-129 parity line
             log.info(

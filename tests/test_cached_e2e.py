@@ -87,3 +87,33 @@ def test_optimizer_group_labels():
     assert flat["san/cv_pre_fc/kernel"] == "recsys"
     assert all(v == "recsys" for k, v in flat.items()
                if k.startswith("user_encoder") or k.startswith("fuse"))
+
+
+def test_fused_epoch_eval_matches_separate_path():
+    """run_epoch_with_eval (one dispatch: train scan + item tables + eval
+    scan) must reproduce run_epoch + evaluate_split exactly - losses,
+    metrics, and trained params."""
+    import jax.tree_util as jtu
+
+    from iisan_tpu.config import IISANConfig
+    from iisan_tpu.data.synthetic import synthetic_corpus, synthetic_taps
+    from iisan_tpu.train.cached import CachedTrainer
+
+    cfg = IISANConfig(batch_size=16, epoch=1, embedding_dim=16,
+                      compute_dtype="float32", word_embedding_dim=32,
+                      image_embedding_dim=32, side_adapter_vit_list="1,3",
+                      side_adapter_bert_list="1,3", eval_batch_size=32)
+    corpus = synthetic_corpus(n_users=70, item_num=90, seed=5)
+    k = len(cfg.san_image_taps())
+    cv = synthetic_taps(90, k, 32, seed=1)
+    text = synthetic_taps(90, k, 32, seed=2)
+    a = CachedTrainer(cfg.replace(fused_epoch_eval=False), corpus, cv, text)
+    b = CachedTrainer(cfg, corpus, cv, text)
+    loss_a = a.run_epoch(1)
+    hit_a, ndcg_a = a.evaluate_split("valid")
+    loss_b, hit_b, ndcg_b = b.run_epoch_with_eval(1)
+    assert abs(loss_a - loss_b) < 1e-5
+    assert abs(hit_a - hit_b) < 1e-6 and abs(ndcg_a - ndcg_b) < 1e-6
+    for x, y in zip(jtu.tree_leaves(a.params), jtu.tree_leaves(b.params)):
+        np.testing.assert_allclose(np.asarray(x), np.asarray(y),
+                                   rtol=1e-5, atol=1e-6)
