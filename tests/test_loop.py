@@ -8,11 +8,15 @@ from iisan_tpu.train.cached import CachedTrainer
 
 
 def make_trainer(**kw):
+    # fused_epoch_eval off: these tests monkeypatch run_epoch /
+    # evaluate_split, which the fused single-dispatch path bypasses (the
+    # fused path itself is covered by test_cached_e2e.py).
     cfg = IISANConfig(
         batch_size=8, epoch=5, embedding_dim=16,
         side_adapter_vit_list="1,3", side_adapter_bert_list="1,3",
         word_embedding_dim=24, image_embedding_dim=24,
-        compute_dtype="float32", eval_batch_size=16, **kw)
+        compute_dtype="float32", eval_batch_size=16,
+        fused_epoch_eval=False, **kw)
     corpus = synthetic_corpus(n_users=24, item_num=40)
     k = len(cfg.san_image_taps())
     return CachedTrainer(cfg, corpus, synthetic_taps(40, k, 24, 1),
