@@ -107,6 +107,23 @@ def validate_config(cfg: IISANConfig) -> None:
             f"use_scale={cfg.use_scale!r}: 'half' (bf16 activations, the "
             "AMP analog) or 'None'/'fp32' (fp32 activations); other values "
             "are not supported")
+    if not ("all" in cfg.fine_tune_to or "None" in cfg.fine_tune_to):
+        # The reference asserts on anything else (Code_Cached/run.py:158).
+        raise ValueError(
+            f"fine_tune_to={cfg.fine_tune_to!r} should contain 'all' or "
+            "'None'")
+    if "None" in cfg.fine_tune_to and cfg.adding_adapter_to == "None" \
+            and cfg.item_tower != "id":
+        raise ValueError(
+            "fine_tune_to='None' with adding_adapter_to='None' freezes "
+            "every parameter — nothing would train (the reference reaches "
+            "the same degenerate state silently, run.py:154-158)")
+    if cfg.item_tower == "modal" and "vit" not in cfg.CV_model_load:
+        raise ValueError(
+            f"CV_model_load={cfg.CV_model_load!r}: only ViT towers are "
+            "supported; the reference's resnet/mae branches reference "
+            "encoder classes that do not exist in its cached trees "
+            "(SURVEY.md section 2.1 #5)")
 
 
 def effective_pipeline(cfg: IISANConfig) -> str:

@@ -188,3 +188,34 @@ def test_is_serial_none_houlsby_raises():
         validate_config(tiny_cfg(adapter_type="houslby", is_serial="None"))
     # Non-houlsby methods ignore is_serial (reference only reads it there).
     validate_config(tiny_cfg(adapter_type="IISAN", is_serial="None"))
+
+
+# -------------------------------------------------------------- fine_tune_to
+def test_fine_tune_to_invalid_raises():
+    """The reference asserts on unknown fine_tune_to (run.py:158)."""
+    with pytest.raises(ValueError, match="fine_tune_to"):
+        validate_config(tiny_cfg(fine_tune_to="bogus"))
+    validate_config(tiny_cfg(fine_tune_to="all"))
+    validate_config(tiny_cfg(fine_tune_to="None"))  # PEFT default
+
+
+def test_fine_tune_to_none_without_adapters_raises():
+    """Everything frozen + no adapters = nothing trains; fail loudly
+    instead of reproducing the reference's silent degenerate state."""
+    with pytest.raises(ValueError, match="freezes"):
+        validate_config(tiny_cfg(fine_tune_to="None",
+                                 adapter_type="fft",
+                                 adding_adapter_to="None"))
+    # ID pipeline is exempt (no towers involved).
+    validate_config(tiny_cfg(fine_tune_to="None", item_tower="id",
+                             adapter_type="fft", adding_adapter_to="None"))
+
+
+# ------------------------------------------------------------- CV_model_load
+def test_cv_model_load_non_vit_raises():
+    """resnet/mae branches reference undefined encoders in the reference's
+    cached trees (SURVEY 2.1 #5) — reject rather than crash later."""
+    with pytest.raises(ValueError, match="CV_model_load"):
+        validate_config(tiny_cfg(CV_model_load="resnet50"))
+    validate_config(tiny_cfg(CV_model_load="vit"))
+    validate_config(tiny_cfg(CV_model_load="resnet50", item_tower="id"))
