@@ -142,13 +142,13 @@ class SideAdapterNetwork(nn.Module):
             # (Code_Cached model.py:274) and asym's equal/narrower-text
             # branches (asym model.py:287); cv_adapter_down_size only when
             # text is strictly wider (asym model.py:281-285).
+            # Stacked (K, ...) weights like the intra branches, so the mm
+            # cascade is the same single-op recurrence (the reference's
+            # per-step AdapterBlock modules, model.py:275-277, differ only
+            # in parameter grouping).
             mm_down = self.cv_down_size if self.text_dim > self.image_dim \
                 else self.bert_down_size
-            mm_adapters = [
-                AdapterBlock(mm_down, self.activation, dtype=dtype,
-                             name=f"mm_adapter_list_{i}")
-                for i in range(k_mm)
-            ]
+            mm_stack = adapter_stack("mm_adapter_list", k_mm, mm_dim, mm_down)
             gates_mm = self.param(
                 "side_gate_params_mm", nn.initializers.zeros, (k_mm,))
             if self.text_dim != self.image_dim:
@@ -157,34 +157,77 @@ class SideAdapterNetwork(nn.Module):
                     for i in range(k_mm)
                 ]
 
-        # Intra branches: each modality's full K-step cascade is ONE op -
-        # the group-layer-drop "prefix" (asym model.py:361-378) and the
-        # joint loop (model.py:318-332) are the same recurrence for intra,
-        # so they fuse into a single kernel invocation per branch.
-        if intra:
-            from ..ops.fused_san import (dual_reference_cascade,
-                                         fused_cascade, reference_cascade)
+        from ..ops.fused_san import (cascade_coefs, fused_cascade,
+                                     multi_reference_cascade,
+                                     reference_cascade)
 
-            # fused_cascade internally dispatches between the all-weights-
-            # resident kernel and the step-streamed wide-D kernel.
-            use_fused = self.use_pallas and jax.default_backend() == "tpu"
-            symmetric = (kt == kc and self.text_dim == self.image_dim
-                         and self.bert_down_size == self.cv_down_size)
-            if self.batch_intra and symmetric and not use_fused:
-                # Latency optimization: both branch cascades as one loop of
-                # (2, ...)-batched matmuls — halves the cascade's op count
-                # on the latency-bound cached step (numerics unchanged).
-                stack2 = {key: jnp.stack([text_stack[key], cv_stack[key]]
-                                         ).astype(dtype)
-                          for key in ("wd", "bd", "wu", "bu")}
-                out2 = dual_reference_cascade(
-                    jnp.stack([gates_text, gates_cv]),
+        # Inter-branch tap fusion (model.py:334-338 / asym model.py:398-417):
+        # the gate mixes the two modalities' taps, after which the mm
+        # recurrence ``c = Adapter(c + fused_tap)`` is the additive form of
+        # the same cascade as the intra branches.  The K gate-mixes are one
+        # vectorized op instead of a per-step Python loop.
+        if inter:
+            mm_text = text_taps[:, diff_text:, :]       # (N, K_mm, text_dim)
+            mm_cv = cv_taps[:, diff_cv:, :]
+            if self.text_dim > self.image_dim:
+                mm_text = jnp.stack(
+                    [down_projects[i](mm_text[:, i, :]) for i in range(k_mm)],
+                    axis=1)
+            elif self.image_dim > self.text_dim:
+                mm_cv = jnp.stack(
+                    [down_projects[i](mm_cv[:, i, :]) for i in range(k_mm)],
+                    axis=1)
+            g_mm = self._gate(gates_mm.astype(jnp.float32))      # (K_mm,)
+            mm_taps = (g_mm[None, :, None] * mm_cv.astype(jnp.float32)
+                       + (1.0 - g_mm)[None, :, None]
+                       * mm_text.astype(jnp.float32)).astype(dtype)
+
+        use_fused = intra and self.use_pallas and jax.default_backend() == "tpu"
+        symmetric = (kt == kc and self.text_dim == self.image_dim
+                     and self.bert_down_size == self.cv_down_size)
+        tri = (self.batch_intra and intra and inter and symmetric
+               and not use_fused and kt == k_mm
+               and mm_down == self.bert_down_size)
+
+        def stack_branches(key, stacks):
+            return jnp.stack([s[key] for s in stacks]).astype(dtype)
+
+        if tri:
+            # All three branch cascades as ONE loop of (3, ...)-batched
+            # matmuls (latency optimization; numerics per-branch identical).
+            a_t, b_t = cascade_coefs(gates_text, self.gated)
+            a_c, b_c = cascade_coefs(gates_cv, self.gated)
+            ones = jnp.ones((k_mm,), jnp.float32)
+            stacks = (text_stack, cv_stack, mm_stack)
+            out3 = multi_reference_cascade(
+                jnp.stack([a_t, a_c, ones]), jnp.stack([b_t, b_c, ones]),
+                jnp.stack([text_taps, cv_taps, mm_taps]),
+                stack_branches("wd", stacks), stack_branches("bd", stacks),
+                stack_branches("wu", stacks), stack_branches("bu", stacks),
+                jnp.stack([carry_text, carry_cv, carry_mm]),
+                activation=self.activation)
+            carry_text, carry_cv, carry_mm = out3[0], out3[1], out3[2]
+        else:
+            # Intra branches: each modality's full K-step cascade is ONE
+            # op - the group-layer-drop "prefix" (asym model.py:361-378)
+            # and the joint loop (model.py:318-332) are the same
+            # recurrence for intra, so they fuse per branch; when the two
+            # branches are symmetric they additionally batch into one.
+            if intra and self.batch_intra and symmetric and not use_fused:
+                a_t, b_t = cascade_coefs(gates_text, self.gated)
+                a_c, b_c = cascade_coefs(gates_cv, self.gated)
+                stacks = (text_stack, cv_stack)
+                out2 = multi_reference_cascade(
+                    jnp.stack([a_t, a_c]), jnp.stack([b_t, b_c]),
                     jnp.stack([text_taps, cv_taps]),
-                    stack2["wd"], stack2["bd"], stack2["wu"], stack2["bu"],
+                    stack_branches("wd", stacks),
+                    stack_branches("bd", stacks),
+                    stack_branches("wu", stacks),
+                    stack_branches("bu", stacks),
                     jnp.stack([carry_text, carry_cv]),
-                    activation=self.activation, gated=self.gated)
+                    activation=self.activation)
                 carry_text, carry_cv = out2[0], out2[1]
-            else:
+            elif intra:
                 run = fused_cascade if use_fused else reference_cascade
 
                 def cascade(gates, stack, taps, c0):
@@ -199,19 +242,14 @@ class SideAdapterNetwork(nn.Module):
                 carry_text = cascade(gates_text, text_stack, text_taps,
                                      carry_text)
                 carry_cv = cascade(gates_cv, cv_stack, cv_taps, carry_cv)
-
-        if inter:
-            # Inter branch (model.py:334-338 / asym model.py:398-417).
-            for i in range(k_mm):
-                mm_text = text_taps[:, diff_text + i, :]
-                mm_cv = cv_taps[:, diff_cv + i, :]
-                if self.text_dim > self.image_dim:
-                    mm_text = down_projects[i](mm_text)
-                elif self.image_dim > self.text_dim:
-                    mm_cv = down_projects[i](mm_cv)
-                g = self._gate(gates_mm[i])
-                carry_mm = carry_mm + g * mm_cv + (1.0 - g) * mm_text
-                carry_mm = mm_adapters[i](carry_mm)
+            if inter:
+                # Additive-form cascade over the pre-fused taps (gates are
+                # inside mm_taps; gated=False reads none).
+                carry_mm = reference_cascade(
+                    gates_mm, mm_taps,
+                    mm_stack["wd"].astype(dtype), mm_stack["bd"].astype(dtype),
+                    mm_stack["wu"].astype(dtype), mm_stack["bu"].astype(dtype),
+                    carry_mm, activation=self.activation, gated=False)
 
         # Output heads.  cached: fc(D->D) then pre_fc(D->emb) where pre_fc is
         # the frozen tower's (trainable) classifier / title.fc

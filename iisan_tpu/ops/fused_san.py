@@ -387,37 +387,57 @@ def reference_cascade(gates, taps, wd, bd, wu, bu, c0, activation="RELU",
     return c
 
 
-def dual_reference_cascade(gates2, taps2, wd2, bd2, wu2, bu2, c02,
-                           activation="RELU", gated=True):
-    """Both intra cascades (text + cv) as ONE unrolled loop of batched
-    matmuls.
+def multi_reference_cascade(coef_a, coef_b, taps, wd, bd, wu, bu, c0,
+                            activation="RELU"):
+    """S branch cascades as ONE unrolled loop of batched matmuls.
 
     The cached step is latency-bound op soup (~465 HLO ops/step), so at
-    the symmetric base geometry (same K, D, R on both branches —
-    Code_Cached/scripts/run_IISAN.py:27-49) running the two branch
-    cascades as (2, ...)-batched dot_generals halves the cascade's op
-    count without changing a single float: each branch still sees exactly
-    its own gates/weights/taps.
+    the symmetric base geometry (same K, D, R on every branch —
+    Code_Cached/scripts/run_IISAN.py:27-49) running the branch cascades
+    as (S, ...)-batched dot_generals divides the cascade's op count by S
+    without changing a single float: each branch still sees exactly its
+    own coefficients/weights/taps.
 
-    Shapes: gates2 (2, K); taps2 (2, N, K, D); wd2 (2, K, D, R);
-    bd2 (2, K, R); wu2 (2, K, R, D); bu2 (2, K, D); c02 (2, N, D).
-    Returns (2, N, D) final carries.
+    The per-step fusion is generalized to ``f_i = a_i * tap_i + b_i * c``:
+    the gated intra recurrence uses (a, b) = (sigmoid(g/T), 1-sigmoid),
+    additive intra fusion uses (1, 1), and the inter branch uses (1, 1)
+    over pre-fused taps (its own gating mixes cv/text inside the tap,
+    model.py:335-338) — all three reference recurrences are this form.
+
+    Shapes: coef_a/coef_b (S, K) fp32; taps (S, N, K, D); wd (S, K, D, R);
+    bd (S, K, R); wu (S, K, R, D); bu (S, K, D); c0 (S, N, D).
+    Returns (S, N, D) final carries.
     """
-    dtype = c02.dtype
-    k = taps2.shape[2]
-    c = c02
+    dtype = c0.dtype
+    k = taps.shape[2]
+    c = c0
     batch_mm = lambda a, b: jax.lax.dot_general(
         a, b, (((2,), (1,)), ((0,), (0,))),
         preferred_element_type=jnp.float32)
     for i in range(k):
-        if gated:
-            g = jax.nn.sigmoid(gates2[:, i] / GATE_TEMPERATURE)  # (2,)
-            f = (g[:, None, None] * taps2[:, :, i, :].astype(jnp.float32)
-                 + (1.0 - g)[:, None, None] * c.astype(jnp.float32)
-                 ).astype(dtype)
-        else:
-            f = taps2[:, :, i, :] + c
-        z = batch_mm(f, wd2[:, i]) + bd2[:, i][:, None, :]
+        f = (coef_a[:, i][:, None, None] * taps[:, :, i, :].astype(jnp.float32)
+             + coef_b[:, i][:, None, None] * c.astype(jnp.float32)
+             ).astype(dtype)
+        z = batch_mm(f, wd[:, i]) + bd[:, i][:, None, :]
         a = _act(z, activation).astype(dtype)
-        c = (batch_mm(a, wu2[:, i]) + bu2[:, i][:, None, :]).astype(dtype) + f
+        c = (batch_mm(a, wu[:, i]) + bu[:, i][:, None, :]).astype(dtype) + f
     return c
+
+
+def cascade_coefs(gates, gated: bool):
+    """(K,) gate params -> per-step (a, b) fusion coefficients (fp32)."""
+    if gated:
+        g = jax.nn.sigmoid(gates.astype(jnp.float32) / GATE_TEMPERATURE)
+        return g, 1.0 - g
+    k = gates.shape[0]
+    return jnp.ones((k,), jnp.float32), jnp.ones((k,), jnp.float32)
+
+
+def dual_reference_cascade(gates2, taps2, wd2, bd2, wu2, bu2, c02,
+                           activation="RELU", gated=True):
+    """Two-branch wrapper over multi_reference_cascade (text + cv intra)."""
+    a0, b0 = cascade_coefs(gates2[0], gated)
+    a1, b1 = cascade_coefs(gates2[1], gated)
+    return multi_reference_cascade(
+        jnp.stack([a0, a1]), jnp.stack([b0, b1]),
+        taps2, wd2, bd2, wu2, bu2, c02, activation=activation)

@@ -127,9 +127,10 @@ def test_san_forward_matches_reference(ref_modules):
         ref.cv_adapter_list, "fc_down")
     p["cv_adapter_list_wu"], p["cv_adapter_list_bu"] = stack(
         ref.cv_adapter_list, "fc_up")
-    for i, m in enumerate(ref.mm_adapter_list):
-        p[f"mm_adapter_list_{i}"] = {"fc_down": lin(m.fc_down),
-                                     "fc_up": lin(m.fc_up)}
+    p["mm_adapter_list_wd"], p["mm_adapter_list_bd"] = stack(
+        ref.mm_adapter_list, "fc_down")
+    p["mm_adapter_list_wu"], p["mm_adapter_list_bu"] = stack(
+        ref.mm_adapter_list, "fc_up")
     p["side_gate_params_text"] = np.array(
         [t2n(x)[0] for x in ref.side_gate_params_text])
     p["side_gate_params_cv"] = np.array(

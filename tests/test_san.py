@@ -70,7 +70,7 @@ def oracle_san(params, cv_states, text_states, kt, kc, text_dim, image_dim,
             mc = np_linear(params[f"down_project_list_{i}"], mc)
         g = gate(gm[i])
         cm = cm + g * mc + (1 - g) * mt
-        cm = np_adapter(params[f"mm_adapter_list_{i}"], cm)
+        cm = np_stack_adapter(params, "mm_adapter_list", i, cm)
     t = np_linear(params["fc_bert"], ct)
     c = np_linear(params["fc_cv"], cc)
     m = np_linear(params["fc_mm"], cm)
@@ -179,8 +179,7 @@ def test_inter_branch_bottleneck_size(text_dim, image_dim, want_down):
     text = jnp.zeros((2, 3, text_dim))
     params = san.init(jax.random.PRNGKey(0), cv, text)["params"]
     mm_dim = min(text_dim, image_dim)
-    assert params["mm_adapter_list_0"]["fc_down"]["kernel"].shape == \
-        (mm_dim, want_down)
+    assert params["mm_adapter_list_wd"].shape == (3, mm_dim, want_down)
 
 
 def test_batch_intra_branches_identical_numerics():
