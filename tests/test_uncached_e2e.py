@@ -125,3 +125,50 @@ def test_bitfit_mask():
         tr.params["text_tower"]["bert"]["layer_0"]["intermediate"]["bias"])
     np.testing.assert_array_equal(w_before, w_after)
     assert not np.allclose(b_before, b_after)
+
+
+def test_uncached_trains_from_lmdb_store(tmp_path):
+    """Storage-layer to training loop: build an LMDB from JPEGs (shim
+    backend here; same code path as the real package) and train the
+    uncached model from it via run_from_config (SURVEY L2 -> L3 -> L6)."""
+    from PIL import Image
+
+    from iisan_tpu.config import IISANConfig
+    from iisan_tpu.data.images import LmdbImageStore, build_lmdb
+    from iisan_tpu.train.pipelines import run_from_config
+    from iisan_tpu.train.uncached import UncachedTrainer
+
+    rng = np.random.default_rng(0)
+    n_items = 20
+    image_dir = tmp_path / "jpgs"
+    image_dir.mkdir()
+    with open(tmp_path / "items.tsv", "w") as f:
+        for i in range(n_items):
+            name = f"I{i:04d}"
+            f.write(f"{name}\tTitle of item {i}\n")
+            Image.fromarray(rng.integers(0, 255, (20, 20, 3)).astype(
+                np.uint8)).save(image_dir / f"{name}.jpg")
+    with open(tmp_path / "users.tsv", "w") as f:
+        for u in range(12):
+            seq = " ".join(f"I{int(x):04d}" for x in
+                           rng.integers(0, n_items, size=8))
+            f.write(f"U{u}\t{seq}\n")
+    build_lmdb(str(tmp_path / "items.tsv"), str(image_dir),
+               str(tmp_path / "image.lmdb"))
+
+    cfg = IISANConfig(
+        root_data_dir=str(tmp_path), dataset="", behaviors="users.tsv",
+        news="items.tsv", images="items.tsv", lmdb_data="image.lmdb",
+        pipeline="uncached", epoch=1, batch_size=4, embedding_dim=16,
+        word_embedding_dim=32, image_embedding_dim=32, text_layers=2,
+        image_layers=2, CV_resize=16, num_words_title=6,
+        side_adapter_vit_list="0,1", side_adapter_bert_list="0,1",
+        bert_adapter_down_size=8, cv_adapter_down_size=8,
+        adapter_type="IISAN", adding_adapter_to="all",
+        compute_dtype="float32", max_seq_len=4, min_seq_len=3,
+        eval_batch_size=8, log_dir=str(tmp_path / "logs"),
+        ckpt_dir=str(tmp_path / "ckpts"), save_checkpoints=False)
+    trainer, res = run_from_config(cfg)
+    assert isinstance(trainer, UncachedTrainer)
+    assert isinstance(trainer.image_store, LmdbImageStore)
+    assert res is not None and np.isfinite(res.losses).all()
