@@ -75,6 +75,55 @@ class Recommender:
             history[i, :len(full)] = full
         return tokens, log_mask, history
 
+    # ------------------------------------------------------------------
+    def save(self, path: str) -> None:
+        """Export a deployable artifact: the fused item table + the
+        user-encoder params — everything top_k needs, no trainer, no
+        caches, no towers.  One .npz file."""
+        import jax
+
+        flat = {}
+        for kp, leaf in jax.tree_util.tree_leaves_with_path(
+                {"user_encoder": self.params["user_encoder"]}):
+            key = "/".join(str(getattr(k, "key", k)) for k in kp)
+            flat[f"param:{key}"] = np.asarray(leaf)
+        np.savez(path, fused_table=np.asarray(self.fused_table),
+                 max_seq_len=np.int32(self.max_seq_len),
+                 n_layers=np.int32(self._encoder_layers()),
+                 n_heads=np.int32(self._encoder_heads()), **flat)
+
+    def _encoder_layers(self) -> int:
+        te = self.params["user_encoder"]["transformer_encoder"]
+        return sum(1 for k in te if k.startswith("transformer_blocks_"))
+
+    def _encoder_heads(self) -> int:
+        return getattr(self.model, "num_attention_heads", 2)
+
+    @classmethod
+    def load(cls, path: str) -> "Recommender":
+        """Rebuild a Recommender from a ``save()`` artifact."""
+        from .models.model import IISANRecModel
+        from .models.san import SideAdapterNetwork
+
+        z = np.load(path)
+        params: dict = {}
+        for key in z.files:
+            if not key.startswith("param:"):
+                continue
+            node = params
+            parts = key[len("param:"):].split("/")
+            for p in parts[:-1]:
+                node = node.setdefault(p, {})
+            node[parts[-1]] = z[key]
+        table = z["fused_table"]
+        L = int(z["max_seq_len"])
+        model = IISANRecModel(
+            san=SideAdapterNetwork(embedding_dim=table.shape[1]),
+            embedding_dim=table.shape[1], max_seq_len=L,
+            num_attention_heads=int(z["n_heads"]),
+            transformer_block=int(z["n_layers"]), drop_rate=0.0)
+        return cls(model, params, table, L)
+
     def top_k(self, seqs, k: int = 10,
               exclude_history: bool = True) -> Tuple[np.ndarray, np.ndarray]:
         """seqs: iterable of item-id sequences (most recent last).

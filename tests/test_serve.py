@@ -62,3 +62,19 @@ def test_id_pipeline_recommender():
     rec = Recommender.from_trainer(tr)
     ids, _ = rec.top_k([[4, 8, 15]], k=4)
     assert ids.shape == (1, 4) and ids.min() >= 1
+
+
+def test_save_load_roundtrip(tmp_path):
+    """Recommender.save -> load reproduces identical recommendations
+    without a trainer, caches, or towers (deployment artifact)."""
+    tr = make_trainer()
+    rec = Recommender.from_trainer(tr)
+    seqs = [[1, 5, 9], [2, 2, 7, 12, 3], list(range(1, 11))]
+    want_ids, want_scores = rec.top_k(seqs, k=7)
+
+    path = str(tmp_path / "recommender.npz")
+    rec.save(path)
+    rec2 = Recommender.load(path)
+    got_ids, got_scores = rec2.top_k(seqs, k=7)
+    np.testing.assert_array_equal(got_ids, want_ids)
+    np.testing.assert_allclose(got_scores, want_scores, rtol=1e-5)
