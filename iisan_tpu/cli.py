@@ -22,7 +22,11 @@ from .config import IISANConfig
 
 
 def build_parser() -> argparse.ArgumentParser:
-    p = argparse.ArgumentParser(description="iisan_tpu trainer")
+    # allow_abbrev=False: parse_config detects an explicit --compute_dtype
+    # by scanning argv (to decide whether --use_scale may override it);
+    # prefix abbreviations would defeat that scan.
+    p = argparse.ArgumentParser(description="iisan_tpu trainer",
+                                allow_abbrev=False)
     defaults = IISANConfig()
     skip = {"news_attributes", "k_adapter_bert_list"}
     for f in dataclasses.fields(IISANConfig):

@@ -96,6 +96,13 @@ class Environment:
                         "real LMDB file — install the 'lmdb' package to "
                         "read it)")
                 self._data = pickle.load(f)
+        elif subdir and os.path.exists(os.path.join(path, "data.mdb")):
+            # A real LMDB in directory form — same guidance as the
+            # magic-header check gives for file-form DBs.
+            raise Error(
+                f"{path} holds a real LMDB (data.mdb) — install the "
+                "'lmdb' package to read it; the pure-Python shim only "
+                "reads its own format")
         elif readonly:
             raise Error(f"no such database: {self._file}")
         elif subdir:

@@ -272,9 +272,16 @@ def towers_from_config(cfg, dtype=None):
         and getattr(cfg, "fused_tower_attention", True),
         **vit_peft,
     )
+    # Pass the attribute widths whenever the active set is anything other
+    # than the plain title — a SINGLE non-title attribute (e.g. abstract)
+    # has its own width, and falling back to num_words_title would slice
+    # the packed row at the wrong offsets.
     attrs = cfg.attr_num_words() if hasattr(cfg, "attr_num_words") else ()
+    active = (cfg.active_text_attributes()
+              if hasattr(cfg, "active_text_attributes") else ("title",))
     text_tower = TextTower(bert=bert, embedding_dim=cfg.embedding_dim,
                            num_words=cfg.num_words_title,
-                           attr_num_words=attrs if len(attrs) > 1 else ())
+                           attr_num_words=()
+                           if active == ("title",) else attrs)
     image_tower = ImageTower(vit=vit, embedding_dim=cfg.embedding_dim)
     return text_tower, image_tower

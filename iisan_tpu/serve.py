@@ -82,12 +82,20 @@ class Recommender:
         caches, no towers.  One .npz file."""
         import jax
 
+        # Cast to float32 for storage: np.savez silently stores ml_dtypes
+        # bfloat16 as raw void ('|V2'), which np.load cannot interpret —
+        # the default compute dtype IS bfloat16, so this cast is load-
+        # bearing, not cosmetic.
+        def store(x):
+            x = np.asarray(x)
+            return x.astype(np.float32) if x.dtype.kind not in "iuf" else x
+
         flat = {}
         for kp, leaf in jax.tree_util.tree_leaves_with_path(
                 {"user_encoder": self.params["user_encoder"]}):
             key = "/".join(str(getattr(k, "key", k)) for k in kp)
-            flat[f"param:{key}"] = np.asarray(leaf)
-        np.savez(path, fused_table=np.asarray(self.fused_table),
+            flat[f"param:{key}"] = store(leaf)
+        np.savez(path, fused_table=store(self.fused_table),
                  max_seq_len=np.int32(self.max_seq_len),
                  n_layers=np.int32(self._encoder_layers()),
                  n_heads=np.int32(self._encoder_heads()), **flat)

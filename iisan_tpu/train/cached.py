@@ -118,10 +118,12 @@ class CachedTrainer(TrainLoopMixin):
         self.opt_state = jax.tree_util.tree_map(
             lambda x: self._put(x, self._repl), self.tx.init(self.params))
         self._epoch_fn = self._build_epoch_fn()
+        # Fused epoch+eval state is built lazily on the first
+        # run_epoch_with_eval call: callers that only run_epoch (TPME,
+        # benchmarks, the Versa script) should not pay the valid-split
+        # device staging or the extra program.
         self._epoch_eval_fn = None
-        if getattr(cfg, "fused_epoch_eval", True):
-            self._valid_eval_batches = self._prep_eval_batches("valid")
-            self._epoch_eval_fn = self._build_epoch_eval_fn()
+        self._valid_eval_batches = None
 
         n_params = sum(x.size for x in jax.tree_util.tree_leaves(self.params))
         log.info("##### trainable_num %d #####", n_params)
@@ -292,8 +294,11 @@ class CachedTrainer(TrainLoopMixin):
     def run_epoch_with_eval(self, epoch: int):
         """Fused epoch + valid eval in one dispatch; returns
         (loss, hit, ndcg).  Falls back to None when disabled."""
-        if self._epoch_eval_fn is None:
+        if not getattr(self.cfg, "fused_epoch_eval", True):
             return None
+        if self._epoch_eval_fn is None:
+            self._valid_eval_batches = self._prep_eval_batches("valid")
+            self._epoch_eval_fn = self._build_epoch_eval_fn()
         perm = self._put(self.epoch_permutation(epoch), self._perm_sh)
         tables = (self.cv_table, self.text_table, self.train_seqs,
                   self.train_log_mask, self.pop_prob)

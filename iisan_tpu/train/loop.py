@@ -87,9 +87,13 @@ class TrainLoopMixin:
                 hit, ndcg = self.evaluate_split("valid")
             from ..utils.profiling import report_time_eval
             report_time_eval(eval_t0)  # utils.py:125-129 parity line
+            # Under the fused dispatch the logged time necessarily covers
+            # epoch+eval (they are one device call); label it so the line
+            # is not mistaken for the reference's train-only timing.
             log.info(
-                "epoch %d loss %.5f valid Hit10 %.5f nDCG10 %.5f (%.2fs)",
-                now_epoch, loss, hit * 100, ndcg * 100, epoch_time)
+                "epoch %d loss %.5f valid Hit10 %.5f nDCG10 %.5f (%.2fs%s)",
+                now_epoch, loss, hit * 100, ndcg * 100, epoch_time,
+                " epoch+eval" if fused_out is not None else "")
             res.epochs_run = now_epoch
             if hit > res.best_hit10:
                 res.best_hit10, res.best_ndcg10 = hit, ndcg

@@ -80,10 +80,13 @@ class TPMETracker:
                    result=None, memory_bytes: Optional[int] = None):
         """Capture one method's (t, p, m) triple.
 
-        Epoch time prefers the trainer's measured per-epoch train times
-        (eval/ETL excluded - the reference times the train loop alone,
-        utils.py:113-122); the total-wall / cfg.epoch quotient is only the
-        fallback when no result is available.
+        Epoch time prefers the trainer's measured per-epoch times; note
+        that under ``fused_epoch_eval`` (cached default) an epoch and its
+        valid eval are one dispatch, so those times INCLUDE eval — the
+        shipped TPME.json is instead produced by scripts/tpme_single.py,
+        which times bare ``run_epoch`` (the reference's train-loop-only
+        basis, utils.py:113-122).  The total-wall / cfg.epoch quotient is
+        only the fallback when no result is available.
         """
         epoch_times = getattr(result, "epoch_times", None)
         if epoch_times:

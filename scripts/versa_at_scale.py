@@ -91,10 +91,15 @@ def main():
             (n - 1, 192)).astype(np.float16)
     cv_store.flush()
     build_s = time.time() - t0
-    disk = sum(
-        os.path.getsize(os.path.join(d, f))
-        for d, _, fs in os.walk(CACHE_DIR) for f in fs)
-    print(f"caches written in {build_s:.1f}s, {disk/2**30:.2f} GiB on disk",
+    # Apparent vs allocated: only the tap rows are written, so the memmap
+    # files are sparse — st_blocks*512 is the true disk usage, getsize the
+    # apparent (full-geometry) size a dense builder run would occupy.
+    files = [os.path.join(d, f)
+             for d, _, fs in os.walk(CACHE_DIR) for f in fs]
+    disk_apparent = sum(os.path.getsize(f) for f in files)
+    disk_alloc = sum(os.stat(f).st_blocks * 512 for f in files)
+    print(f"caches written in {build_s:.1f}s: {disk_apparent/2**30:.2f} GiB "
+          f"apparent, {disk_alloc/2**30:.2f} GiB allocated (sparse)",
           flush=True)
 
     t0 = time.time()
@@ -131,7 +136,8 @@ def main():
         "step_ms": float(np.median(times)) / steps * 1e3,
         "steps_per_epoch": steps,
         "executable_memory_bytes": mem,
-        "cache_disk_bytes": disk,
+        "cache_apparent_bytes": disk_apparent,
+        "cache_allocated_bytes": disk_alloc,
         "load_taps_seconds": load_s,
         "valid_hit10": hit, "valid_ndcg10": ndcg,
         "device": jax.devices()[0].device_kind,

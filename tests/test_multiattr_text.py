@@ -126,3 +126,27 @@ def test_uncached_model_with_abstract_attribute():
         tokens, np.ones((2, L), np.float32), np.ones((30,), np.float32),
         deterministic=True)
     assert np.isfinite(float(loss))
+
+
+def test_single_non_title_attribute_uses_own_width():
+    """news_attributes=('abstract',): the packed row is 2*num_words_abstract
+    wide and TextTower must slice at that width, not num_words_title
+    (code-review r3 finding)."""
+    from iisan_tpu.models.towers import towers_from_config
+
+    cfg = IISANConfig(
+        word_embedding_dim=32, image_embedding_dim=32, text_layers=2,
+        image_layers=2, CV_resize=16, num_words_title=6,
+        num_words_abstract=4, news_attributes=("abstract",),
+        compute_dtype="float32")
+    assert cfg.packed_text_width() == 8
+    text_tower, _ = towers_from_config(cfg)
+    assert text_tower.attr_num_words == (4,)
+    # and a forward with the abstract-width packed row works
+    rng = np.random.default_rng(0)
+    tokens = np.zeros((3, 8), np.int32)
+    tokens[:, :4] = rng.integers(1, 99, (3, 4))
+    tokens[:, 4:] = 1
+    params = text_tower.init(jax.random.PRNGKey(0), tokens)["params"]
+    vec, hiddens = text_tower.apply({"params": params}, tokens)
+    assert vec.shape == (3, cfg.embedding_dim)

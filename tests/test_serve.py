@@ -8,12 +8,12 @@ from iisan_tpu.serve import Recommender
 from iisan_tpu.train.cached import CachedTrainer
 
 
-def make_trainer():
+def make_trainer(compute_dtype="float32"):
     cfg = IISANConfig(
         batch_size=8, epoch=1, embedding_dim=16,
         side_adapter_vit_list="1,3", side_adapter_bert_list="1,3",
         word_embedding_dim=24, image_embedding_dim=24,
-        compute_dtype="float32", eval_batch_size=16)
+        compute_dtype=compute_dtype, eval_batch_size=16)
     corpus = synthetic_corpus(n_users=24, item_num=40)
     tr = CachedTrainer(cfg, corpus, synthetic_taps(40, 3, 24, 1),
                        synthetic_taps(40, 3, 24, 2))
@@ -78,3 +78,19 @@ def test_save_load_roundtrip(tmp_path):
     got_ids, got_scores = rec2.top_k(seqs, k=7)
     np.testing.assert_array_equal(got_ids, want_ids)
     np.testing.assert_allclose(got_scores, want_scores, rtol=1e-5)
+
+
+def test_save_load_roundtrip_bfloat16(tmp_path):
+    """The DEFAULT compute dtype is bfloat16; np.savez stores ml_dtypes
+    bf16 as raw void ('|V2'), so save() must cast for the artifact to be
+    loadable at all (code-review r3 finding)."""
+    tr = make_trainer(compute_dtype="bfloat16")
+    rec = Recommender.from_trainer(tr)
+    seqs = [[1, 5, 9], [2, 7, 12]]
+    want_ids, _ = rec.top_k(seqs, k=5)
+    path = str(tmp_path / "rec_bf16.npz")
+    rec.save(path)
+    rec2 = Recommender.load(path)
+    got_ids, got_scores = rec2.top_k(seqs, k=5)
+    assert np.isfinite(got_scores).all()
+    np.testing.assert_array_equal(got_ids, want_ids)
