@@ -275,3 +275,19 @@ def test_uncached_pipeline_uses_lmdb_store(tmp_path):
     assert not (os.path.isfile(image_dir)
                 or os.path.isfile(os.path.join(image_dir, "data.mdb"))
                 or os.path.isfile(os.path.join(image_dir, "data.shimdb")))
+
+
+def test_shim_rejects_real_lmdb_directory(tmp_path):
+    """Directory-form real LMDB (data.mdb) without the lmdb package must
+    raise the install-lmdb guidance, not a missing-shimdb error."""
+    from iisan_tpu.data.images import LMDB_IS_SHIM
+
+    if not LMDB_IS_SHIM:
+        pytest.skip("real lmdb installed")
+    from iisan_tpu.data import lmdb_shim
+
+    d = tmp_path / "real.lmdb"
+    d.mkdir()
+    (d / "data.mdb").write_bytes(b"\x00" * 64)
+    with pytest.raises(lmdb_shim.Error, match="install the 'lmdb'"):
+        lmdb_shim.open(str(d), subdir=True, readonly=True)
