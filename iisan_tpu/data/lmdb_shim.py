@@ -77,8 +77,81 @@ class _Txn:
     def abort(self):
         pass
 
-    def cursor(self):
-        return iter(sorted(self._env._data.items()))
+    def cursor(self) -> "_Cursor":
+        return _Cursor(self._env)
+
+
+class _Cursor:
+    """Minimal real-cursor surface (lmdb.Cursor): iteration, first/next,
+    set_key/set_range, iternext, context manager.  Kept honest so code
+    written against real lmdb behaves identically on shim-backed hosts."""
+
+    def __init__(self, env: "Environment"):
+        self._items = sorted(env._data.items())
+        self._pos = -1  # unpositioned
+
+    # -- positioning ----------------------------------------------------
+    def first(self) -> bool:
+        self._pos = 0
+        return bool(self._items)
+
+    def next(self) -> bool:
+        self._pos += 1
+        return self._pos < len(self._items)
+
+    def set_key(self, key: bytes) -> bool:
+        key = bytes(key)
+        for i, (k, _) in enumerate(self._items):
+            if k == key:
+                self._pos = i
+                return True
+        return False
+
+    def set_range(self, key: bytes) -> bool:
+        key = bytes(key)
+        for i, (k, _) in enumerate(self._items):
+            if k >= key:
+                self._pos = i
+                return True
+        self._pos = len(self._items)
+        return False
+
+    # -- access ---------------------------------------------------------
+    def key(self) -> bytes:
+        return self._items[self._pos][0] if self._valid() else b""
+
+    def value(self) -> bytes:
+        return self._items[self._pos][1] if self._valid() else b""
+
+    def item(self):
+        return self._items[self._pos] if self._valid() else (b"", b"")
+
+    def _valid(self) -> bool:
+        return 0 <= self._pos < len(self._items)
+
+    # -- iteration ------------------------------------------------------
+    def iternext(self, keys: bool = True, values: bool = True):
+        start = self._pos if self._valid() else 0
+        for k, v in self._items[start:]:
+            if keys and values:
+                yield k, v
+            elif keys:
+                yield k
+            else:
+                yield v
+
+    def __iter__(self):
+        return self.iternext()
+
+    # -- context manager (real cursors support `with txn.cursor()`) ----
+    def __enter__(self):
+        return self
+
+    def __exit__(self, *exc):
+        return False
+
+    def close(self):
+        pass
 
 
 class Environment:
@@ -117,13 +190,28 @@ class Environment:
             with io.open(tmp, "wb") as f:
                 f.write(MAGIC)
                 pickle.dump(self._data, f, protocol=pickle.HIGHEST_PROTOCOL)
+                # Flush data pages to disk BEFORE the rename: os.replace
+                # alone is atomic against partial writes but not durable
+                # against power loss - without the fsync a "committed"
+                # multi-hour catalog build could vanish on crash.
+                f.flush()
+                os.fsync(f.fileno())
             os.replace(tmp, self._file)
+            # Persist the rename itself (directory entry).
+            try:
+                dfd = os.open(os.path.dirname(self._file) or ".", os.O_RDONLY)
+                try:
+                    os.fsync(dfd)
+                finally:
+                    os.close(dfd)
+            except OSError:  # pragma: no cover - exotic filesystems
+                pass
 
     def stat(self):
         return {"entries": len(self._data)}
 
     def sync(self, force: bool = True):
-        pass  # _persist already fsync-equivalent via atomic replace
+        pass  # durable: _persist fsyncs the file and directory on commit
 
     def close(self):
         pass

@@ -33,13 +33,35 @@ import numpy as np
 from ..ops.metrics import hit_ndcg_at_k, mask_history
 
 
-@functools.partial(jax.jit, static_argnums=0)
-def _emb_chunk(model, params, cv, text):
+def _fuse_chunk_impl(model, params, cv, text):
+    """SAN + com_dense over one catalog chunk (shared by the host-chunked
+    and in-graph table builders)."""
     emb_cv, emb_text, emb_mm = model.apply(
         {"params": params}, cv, text, method=model.item_embeddings)
     return model.apply(
         {"params": params}, emb_cv, emb_text, emb_mm,
         method=model.fuse_embeddings)
+
+
+_emb_chunk = jax.jit(_fuse_chunk_impl, static_argnums=0)
+
+
+def fused_table_in_graph(model, params, cv_taps, text_taps,
+                         chunk: int = 8192):
+    """Traceable fused-table build: lax.map over padded catalog chunks.
+
+    Same math as compute_item_tables but embeddable inside a larger jitted
+    program (the fused epoch+eval dispatch, train/cached.py).
+    """
+    n = cv_taps.shape[0]
+    n_pad = ((n + chunk - 1) // chunk) * chunk
+    cv_p = jnp.pad(cv_taps, ((0, n_pad - n), (0, 0), (0, 0)))
+    tx_p = jnp.pad(text_taps, ((0, n_pad - n), (0, 0), (0, 0)))
+    fused = jax.lax.map(
+        lambda args: _fuse_chunk_impl(model, params, *args),
+        (cv_p.reshape(n_pad // chunk, chunk, *cv_taps.shape[1:]),
+         tx_p.reshape(n_pad // chunk, chunk, *text_taps.shape[1:])))
+    return fused.reshape(n_pad, -1)[:n]
 
 
 def compute_item_tables(model, params, cv_taps, text_taps, chunk: int = 8192):
@@ -82,12 +104,11 @@ def _eval_step_impl(model, params, fused_table, tokens, log_mask, target,
 eval_step = jax.jit(_eval_step_impl, static_argnums=0)
 
 
-@functools.partial(jax.jit, static_argnums=0)
-def _eval_scan(model, params, fused_table, tokens, log_mask, target, history):
-    """All eval batches in one dispatch: lax.scan over the batch axis.
-
-    tokens/...: (S, B, ...) stacked batches.  Returns (S, B, 2) metrics.
-    """
+def _eval_scan_impl(model, params, fused_table, tokens, log_mask, target,
+                    history):
+    """All eval batches in one scan (traceable; shared with the fused
+    epoch+eval dispatch).  tokens/...: (S, B, ...) stacked batches.
+    Returns (S, B, 2) metrics."""
 
     def body(_, batch):
         t, m, tg, h = batch
@@ -95,6 +116,9 @@ def _eval_scan(model, params, fused_table, tokens, log_mask, target, history):
 
     _, out = jax.lax.scan(body, None, (tokens, log_mask, target, history))
     return out
+
+
+_eval_scan = jax.jit(_eval_scan_impl, static_argnums=0)
 
 
 def evaluate(model, params, fused_table, tokens, log_mask, target, history,

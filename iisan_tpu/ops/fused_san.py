@@ -388,7 +388,7 @@ def reference_cascade(gates, taps, wd, bd, wu, bu, c0, activation="RELU",
 
 
 def multi_reference_cascade(coef_a, coef_b, taps, wd, bd, wu, bu, c0,
-                            activation="RELU"):
+                            activation="RELU", unroll_limit: int = 8):
     """S branch cascades as ONE unrolled loop of batched matmuls.
 
     The cached step is latency-bound op soup (~465 HLO ops/step), so at
@@ -410,17 +410,31 @@ def multi_reference_cascade(coef_a, coef_b, taps, wd, bd, wu, bu, c0,
     """
     dtype = c0.dtype
     k = taps.shape[2]
-    c = c0
     batch_mm = lambda a, b: jax.lax.dot_general(
         a, b, (((2,), (1,)), ((0,), (0,))),
         preferred_element_type=jnp.float32)
-    for i in range(k):
-        f = (coef_a[:, i][:, None, None] * taps[:, :, i, :].astype(jnp.float32)
-             + coef_b[:, i][:, None, None] * c.astype(jnp.float32)
-             ).astype(dtype)
-        z = batch_mm(f, wd[:, i]) + bd[:, i][:, None, :]
+
+    def body(c, xs):
+        a_i, b_i, tap_i, wd_i, bd_i, wu_i, bu_i = xs
+        f = (a_i[:, None, None] * tap_i.astype(jnp.float32)
+             + b_i[:, None, None] * c.astype(jnp.float32)).astype(dtype)
+        z = batch_mm(f, wd_i) + bd_i[:, None, :]
         a = _act(z, activation).astype(dtype)
-        c = (batch_mm(a, wu[:, i]) + bu[:, i][:, None, :]).astype(dtype) + f
+        return (batch_mm(a, wu_i) + bu_i[:, None, :]).astype(dtype) + f
+
+    if k <= unroll_limit:
+        c = c0
+        for i in range(k):
+            c = body(c, (coef_a[:, i], coef_b[:, i], taps[:, :, i, :],
+                         wd[:, i], bd[:, i], wu[:, i], bu[:, i]))
+        return c
+
+    # Large K (Versa-style tap lists): lax.scan along K bounds HLO size and
+    # compile time, matching reference_cascade's fallback above.
+    xs = (coef_a.T, coef_b.T, taps.transpose(2, 0, 1, 3),
+          wd.transpose(1, 0, 2, 3), bd.transpose(1, 0, 2),
+          wu.transpose(1, 0, 2, 3), bu.transpose(1, 0, 2))
+    c, _ = jax.lax.scan(lambda c, x: (body(c, x), None), c0, xs)
     return c
 
 

@@ -54,18 +54,23 @@ class CachedTrainer(TrainLoopMixin):
         self.mesh = mesh or make_mesh(cfg.mesh_shape)
         self.model = rec_model_from_config(cfg)
 
-        # The epoch scan gathers taps with mode="clip" (no out-of-bounds
-        # fill), which silently reads the nearest row on a bad id.  The
-        # dense-id invariant comes from preprocessing; enforce it once on
-        # the host so a corrupt/stale cache or seq file fails loudly
-        # instead of training on wrong features (ADVICE r1).
-        max_id = int(corpus.train_seqs.max()) if corpus.train_seqs.size else 0
+        # The epoch/eval scans gather taps with mode="clip" (no out-of-
+        # bounds fill), which silently reads the nearest row on a bad id.
+        # The dense-id invariant comes from preprocessing; enforce it once
+        # on the host so a corrupt/stale cache or seq file fails loudly
+        # instead of training/evaluating on wrong features (ADVICE r1).
+        # Validate against the full catalog (item_num + 1 rows incl. pad
+        # row 0), not just train_seqs.max(): leave-one-out valid/test
+        # targets can reference items that never appear in any train
+        # sequence.
+        need = corpus.item_num + 1
         for name, table in (("cv", cv_taps), ("text", text_taps)):
-            if max_id >= table.shape[0]:
+            if table.shape[0] < need:
                 raise ValueError(
                     f"{name} tap table has {table.shape[0]} rows but the "
-                    f"training sequences reference item id {max_id}; cache "
-                    "and behaviors files are out of sync")
+                    f"behaviors file references {corpus.item_num} items "
+                    f"(need {need} rows incl. the pad row); cache and "
+                    "behaviors files are out of sync")
 
         # Data-parallel layout over the mesh (DDP analog, run.py:258):
         # params replicated, per-step batch sharded on its batch dim via the
@@ -234,13 +239,14 @@ class CachedTrainer(TrainLoopMixin):
         no host decision in between, so fusing them saves two dispatch
         round-trips per epoch (~30 ms each over this tunnel) and lets XLA
         overlap the table build with the tail of the epoch scan.
-        Numerics are identical to run_epoch + evaluate_split.
+        Numerics are identical to run_epoch + evaluate_split: the table
+        build and eval scan ARE evaluate.py's implementations, traced into
+        this one program.
         """
-        from ..ops.metrics import hit_ndcg_at_k, mask_history
+        from ..eval.evaluate import _eval_scan_impl, fused_table_in_graph
 
         model = self.model
         scan_epoch = self._make_scan_core()
-        chunk = 8192
 
         @functools.partial(jax.jit, donate_argnums=(0, 1),
                            static_argnums=(5,))
@@ -249,42 +255,9 @@ class CachedTrainer(TrainLoopMixin):
             cv_table, text_table, seqs, log_mask, pop_prob = tables
             params, opt_state, rng, mean_loss, losses = scan_epoch(
                 params, opt_state, rng, perm, tables)
-
-            # ---- item tables (compute_item_tables, in-graph) ----------
-            n_items = cv_table.shape[0]
-            n_pad = ((n_items + chunk - 1) // chunk) * chunk
-            cv_p = jnp.pad(cv_table, ((0, n_pad - n_items), (0, 0), (0, 0)))
-            tx_p = jnp.pad(text_table, ((0, n_pad - n_items), (0, 0), (0, 0)))
-
-            def emb(args):
-                cv, tx = args
-                e_cv, e_tx, e_mm = model.apply(
-                    {"params": params}, cv, tx,
-                    method=model.item_embeddings)
-                return model.apply({"params": params}, e_cv, e_tx, e_mm,
-                                   method=model.fuse_embeddings)
-
-            fused = jax.lax.map(
-                emb, (cv_p.reshape(n_pad // chunk, chunk, *cv_table.shape[1:]),
-                      tx_p.reshape(n_pad // chunk, chunk, *text_table.shape[1:])))
-            fused_table = fused.reshape(n_pad, -1)[:n_items]
-
-            # ---- eval scan (eval/evaluate.py::_eval_scan, in-graph) ---
-            tokens, lmask, target, history = eval_batches
-
-            def body(_, batch):
-                t, m, tg, h = batch
-                input_embs = jnp.take(fused_table, t, axis=0)
-                prec = model.apply({"params": params}, input_embs, m,
-                                   method=model.user_scores)[:, -1, :]
-                scores = jnp.dot(prec.astype(jnp.float32),
-                                 fused_table.T.astype(jnp.float32),
-                                 preferred_element_type=jnp.float32)
-                scores = mask_history(scores, h)
-                scores = scores[:, 1:]
-                return None, hit_ndcg_at_k(scores, tg - 1, k=10)
-
-            _, out = jax.lax.scan(body, None, (tokens, lmask, target, history))
+            fused_table = fused_table_in_graph(model, params, cv_table,
+                                               text_table)
+            out = _eval_scan_impl(model, params, fused_table, *eval_batches)
             metrics = out.reshape(-1, 2)[:n_users]
             hit, ndcg = jnp.mean(metrics, axis=0)
             return params, opt_state, rng, mean_loss, losses, hit, ndcg

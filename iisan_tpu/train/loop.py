@@ -30,6 +30,9 @@ class TrainResult:
     epoch_times: list = field(default_factory=list)
     losses: list = field(default_factory=list)
     test_metrics: Optional[Tuple[float, float]] = None
+    # True when epoch_times were measured around a fused train+valid-eval
+    # dispatch - i.e. they are NOT the reference's train-loop-only basis.
+    epoch_times_include_eval: bool = False
 
 
 class TrainLoopMixin:
@@ -71,6 +74,7 @@ class TrainLoopMixin:
                 loss, hit, ndcg = fused_out
                 jax.block_until_ready(self.params)
                 epoch_time = time.time() - t0
+                res.epoch_times_include_eval = True
             else:
                 loss = self.run_epoch(now_epoch)
                 jax.block_until_ready(self.params)

@@ -17,6 +17,7 @@ Method registry (SURVEY.md section 2.1 #7):
 
 from __future__ import annotations
 
+import re
 from typing import Any
 
 import jax
@@ -71,8 +72,6 @@ _VIT_FINAL = {"final_layernorm/scale": 0, "final_layernorm/bias": 1}
 def torch_param_index(path: str) -> int:
     """torch named_parameters() index of a tower parameter, or -1 for
     non-tower / post-tower (new head, adapter) parameters."""
-    import re
-
     if "/bert/" in path:
         rel, emb, per_layer, final = (path.split("/bert/", 1)[1],
                                       _BERT_EMB, _BERT_LAYER, {})
@@ -106,27 +105,32 @@ def _is_tower_layernorm(path: str) -> bool:
 
 
 def trainable_mask(params, method: str, *, finetune_layernorm: bool = False,
-                   freeze_paras_before: int = 0) -> Any:
+                   freeze_paras_before: int = 0,
+                   fine_tune_to_all: bool = False) -> Any:
     """Boolean pytree of trainability.
 
     Precedence mirrors the reference's mutation order: the per-tower
-    index freeze at load time (run.py:55,99) < the method's re-enables
-    (run.py:186-260) < the final finetune_layernorm re-enable
-    (run.py:281-285).  The index freeze therefore only bites for FFT,
-    where nothing re-enables raw tower params afterwards.
+    index freeze at load time (run.py:55,99) < the fine_tune_to branch
+    ('all' keeps the load-time state, 'None' freezes everything,
+    run.py:176-183) < the method's re-enables (run.py:186-260) < the
+    final finetune_layernorm re-enable (run.py:281-285).  With
+    ``fine_tune_to_all`` a PEFT method therefore trains the towers TOO
+    (minus the index freeze) - the reference's `'all' -> pass` branch -
+    while the default 'None' freezes everything the method does not
+    re-enable.
     """
     method = method.lower()
     # Resolve the ViT final-LN sentinel: its torch index follows the last
-    # encoder layer (4 + 16 * num_layers + {0, 1}).
+    # encoder layer (4 + 16 * num_layers + {0, 1}).  Only the index-freeze
+    # paths consult it, so skip the full-tree scan otherwise.
     max_vit_layer = -1
-    for kp, _ in jax.tree_util.tree_leaves_with_path(params):
-        p = _path_str(kp)
-        if "/vit/" in p and "layer_" in p:
-            import re
-
-            m = re.search(r"layer_(\d+)/", p)
-            if m:
-                max_vit_layer = max(max_vit_layer, int(m.group(1)))
+    if freeze_paras_before > 0:
+        for kp, _ in jax.tree_util.tree_leaves_with_path(params):
+            p = _path_str(kp)
+            if "/vit/" in p and "layer_" in p:
+                m = re.search(r"layer_(\d+)/", p)
+                if m:
+                    max_vit_layer = max(max_vit_layer, int(m.group(1)))
 
     def resolved_index(path: str) -> int:
         idx = torch_param_index(path)
@@ -134,14 +138,16 @@ def trainable_mask(params, method: str, *, finetune_layernorm: bool = False,
             return len(_VIT_EMB) + 16 * (max_vit_layer + 1) + (-2 - idx)
         return idx
 
+    def index_frozen(path: str) -> bool:
+        if freeze_paras_before <= 0:
+            return False
+        idx = resolved_index(path)
+        return 0 <= idx < freeze_paras_before
+
     def pred(kp, _):
         path = _path_str(kp)
         if method in ("fft", "all", "none"):
-            base = True
-            if freeze_paras_before > 0:
-                idx = resolved_index(path)
-                if 0 <= idx < freeze_paras_before:
-                    base = False
+            base = not index_frozen(path)
         elif _is_head(path):
             base = True
         elif method == "iisan":
@@ -154,6 +160,11 @@ def trainable_mask(params, method: str, *, finetune_layernorm: bool = False,
             base = path.endswith("bias/")
         else:
             raise ValueError(f"unknown PEFT method {method}")
+        if not base and fine_tune_to_all:
+            # fine_tune_to='all': params the method did not re-enable keep
+            # their load-time trainability (run.py:177-178 `pass`), i.e.
+            # trainable unless index-frozen at load.
+            base = not index_frozen(path)
         if finetune_layernorm and _is_tower_layernorm(path):
             base = True
         return base

@@ -127,7 +127,8 @@ class UncachedTrainer(TrainLoopMixin):
         self.mask = trainable_mask(
             self.params, self.method,
             finetune_layernorm="None" not in cfg.finetune_layernorm,
-            freeze_paras_before=cfg.freeze_paras_before)
+            freeze_paras_before=cfg.freeze_paras_before,
+            fine_tune_to_all="all" in cfg.fine_tune_to)
         self.tx = build_optimizer(cfg, self.params, trainable_mask=self.mask)
         log_group_sizes(cfg, self.params, self.mask)
         self.params = jax.tree_util.tree_map(

@@ -70,6 +70,10 @@ class RunRecord:
     epoch_seconds: float
     trainable_params: int
     peak_memory_bytes: Optional[int]
+    # What epoch_seconds actually measured - consumers must not assume the
+    # reference's train-loop-only basis (utils.py:113-122) without reading
+    # this.
+    epoch_seconds_basis: str = "median measured epoch wall (train-only)"
 
 
 @dataclass
@@ -80,31 +84,43 @@ class TPMETracker:
                    result=None, memory_bytes: Optional[int] = None):
         """Capture one method's (t, p, m) triple.
 
-        Epoch time prefers the trainer's measured per-epoch times; note
-        that under ``fused_epoch_eval`` (cached default) an epoch and its
-        valid eval are one dispatch, so those times INCLUDE eval — the
-        shipped TPME.json is instead produced by scripts/tpme_single.py,
-        which times bare ``run_epoch`` (the reference's train-loop-only
-        basis, utils.py:113-122).  The total-wall / cfg.epoch quotient is
-        only the fallback when no result is available.
+        Epoch time prefers the trainer's measured per-epoch times.  Under
+        ``fused_epoch_eval`` (cached default) an epoch and its valid eval
+        are one dispatch, so those times INCLUDE eval - the record's
+        ``epoch_seconds_basis`` flags that explicitly, because it is NOT
+        the reference's train-loop-only basis (utils.py:113-122).  The
+        shipped TPME.json is produced by scripts/tpme_single.py, which
+        times bare ``run_epoch`` on that reference basis.  The total-wall
+        / cfg.epoch quotient is only the fallback when no result is
+        available.
         """
         epoch_times = getattr(result, "epoch_times", None)
+        basis = "median measured epoch wall (train-only)"
         if epoch_times:
             epoch_s = float(np.median(epoch_times))
+            if getattr(result, "epoch_times_include_eval", False):
+                basis = ("median epoch+valid-eval wall (fused dispatch; "
+                         "NOT the reference train-only basis - time bare "
+                         "run_epoch, e.g. scripts/tpme_single.py, for TPME "
+                         "comparisons)")
         elif hasattr(trainer, "cfg") and getattr(trainer.cfg, "epoch", 0):
             epoch_s = total_seconds / max(trainer.cfg.epoch, 1)
+            basis = "total wall / cfg.epoch (fallback; includes evals)"
         else:
             epoch_s = total_seconds
+            basis = "total wall (fallback; includes evals)"
         self.runs.append(RunRecord(
             label=label,
             epoch_seconds=epoch_s,
             trainable_params=trainable_param_count(trainer),
             peak_memory_bytes=memory_bytes or device_peak_memory_bytes(),
+            epoch_seconds_basis=basis,
         ))
 
     def summary(self) -> Dict:
         return {r.label: {
             "epoch_s": round(r.epoch_seconds, 4),
+            "epoch_s_basis": r.epoch_seconds_basis,
             "trainable_params": r.trainable_params,
             "peak_mem_mb": round(r.peak_memory_bytes / 2**20, 1)
             if r.peak_memory_bytes else None,

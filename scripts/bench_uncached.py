@@ -39,7 +39,7 @@ def run_uncached_bench(n_users=512, batch_size=32, n_steps=10,
 
     cfg = IISANConfig(
         pipeline="uncached", batch_size=batch_size, epoch=1, embedding_dim=64,
-        adapter_type="IISAN", adding_adapter_to="all",
+        adapter_type="IISAN", adding_adapter_to="all", fine_tune_to="None",
         side_adapter_vit_list="1,3,5,7,9,11",
         side_adapter_bert_list="1,3,5,7,9,11",
         lr=2e-4, adapter_cv_lr=1e-4, adapter_bert_lr=1e-4, seed=12345)

@@ -166,7 +166,11 @@ def main():
             cfg = base_cfg.replace(seed=12345 + seed)
             for variant in ("informative", "random", "id"):
                 key = f"{ds}/{variant}/seed{seed}"
-                if key in done:
+                # Resume only a record trained under the SAME epoch budget:
+                # pooling mixed budgets would silently skew the summary
+                # (records without the field predate it; assume current).
+                if key in done and done[key].get("epochs_budget",
+                                                 args.epochs) == args.epochs:
                     print(f"{key}: cached ({done[key]['best_hit10']:.4f})",
                           flush=True)
                     continue
@@ -183,6 +187,7 @@ def main():
                 res = tr.train()
                 done[key] = dict(
                     dataset=ds, variant=variant, seed=seed,
+                    epochs_budget=args.epochs,
                     best_hit10=res.best_hit10, best_ndcg10=res.best_ndcg10,
                     best_epoch=res.best_epoch, epochs_run=res.epochs_run,
                     wall_seconds=time.time() - t0)
@@ -196,8 +201,13 @@ def main():
     for ds in args.datasets.split(","):
         runs = {}
         for variant in ("informative", "random", "id"):
+            # Pool ONLY records matching this invocation's seed list and
+            # epoch budget - the report's header fields must describe
+            # every pooled record, not just the freshly trained ones.
             rs = [r for key, r in done.items()
-                  if r["dataset"] == ds and r["variant"] == variant]
+                  if r["dataset"] == ds and r["variant"] == variant
+                  and r["seed"] in seeds
+                  and r.get("epochs_budget", args.epochs) == args.epochs]
             if rs:
                 runs[variant] = sorted(rs, key=lambda r: r["seed"])
         report["datasets"][ds] = {"runs": runs, "summary": summarize(runs)}

@@ -70,15 +70,22 @@ def measure_uncached(method: str):
     from iisan_tpu.utils.tpme import trainable_param_count
 
     # Reference method configs (scripts/run_{IISAN,fft,lora,adapter,bitfit}.py)
+    # PEFT rows pass fine_tune_to='None' explicitly (as every shipped
+    # reference script does) - with 'all' the reference trains the towers
+    # too (run.py:177-178) and so would we.
     overrides = {
-        "iisan_uncached": dict(adapter_type="IISAN", adding_adapter_to="all"),
+        "iisan_uncached": dict(adapter_type="IISAN", adding_adapter_to="all",
+                               fine_tune_to="None"),
         "fft": dict(adapter_type="fft", adding_adapter_to="None",
                     fine_tune_to="all"),
         "lora": dict(adapter_type="lora", adding_adapter_to="all",
+                     fine_tune_to="None",
                      bert_adapter_down_size=8, cv_adapter_down_size=8),
         "houlsby": dict(adapter_type="houslby", adding_adapter_to="all",
+                        fine_tune_to="None",
                         bert_adapter_down_size=64, cv_adapter_down_size=64),
-        "bitfit": dict(adapter_type="bitfit", adding_adapter_to="all"),
+        "bitfit": dict(adapter_type="bitfit", adding_adapter_to="all",
+                       fine_tune_to="None"),
     }[method]
     corpus = synthetic_corpus(n_users=256, item_num=600, seed=0)
     rng = np.random.default_rng(0)
@@ -102,9 +109,12 @@ def measure_uncached(method: str):
     b = tr.device_bench(n_steps=8)
     steps_per_epoch = -(-SCIENTIFIC_USERS // cfg.batch_size)
 
-    # Real host-fed epochs through run_epoch + the actual image loader
-    # (VERDICT r1 weak #1: no uncached method had ever run a true epoch).
-    # First epoch compiles the per-batch step; the second is the timed one.
+    # Host-fed epochs through run_epoch's real feed path, but with
+    # SyntheticImageStore supplying in-memory RNG images - NO JPEG decode
+    # or LMDB read happens, so this measures the feed machinery + device
+    # work, not image-decode cost (VERDICT r1 weak #1 asked for a true
+    # epoch; a real-decode feed would differ).  First epoch compiles the
+    # per-batch step; the second is the timed one.
     import jax
 
     tr.run_epoch(0)
@@ -125,8 +135,10 @@ def measure_uncached(method: str):
         "epoch_seconds_e2e_basis":
             f"MEASURED host-fed run_epoch over {corpus.n_users} users "
             f"({e2e_wall:.1f}s wall) scaled linearly to "
-            f"{SCIENTIFIC_USERS} users; host feed is tunnel/1-core-"
-            "limited in this environment (docs/ROUND2_NOTES.md)",
+            f"{SCIENTIFIC_USERS} users; images from SyntheticImageStore "
+            "(in-memory RNG pixels - no JPEG decode/LMDB read), host feed "
+            "tunnel/1-core-limited in this environment "
+            "(docs/ROUND2_NOTES.md)",
         "e2e_measured_users": corpus.n_users,
         "e2e_measured_seconds": e2e_wall,
         "trainable_params": trainable_param_count(tr),

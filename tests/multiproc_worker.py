@@ -57,7 +57,8 @@ def main():
             return super().get(name)
 
     ucfg = cfg.replace(pipeline="uncached", adapter_type="IISAN",
-                       adding_adapter_to="all", CV_resize=32,
+                       adding_adapter_to="all", fine_tune_to="None",
+                       CV_resize=32,
                        num_words_title=4, text_layers=2, image_layers=2,
                        side_adapter_vit_list="1", side_adapter_bert_list="1")
     rng = np.random.default_rng(0)

@@ -40,6 +40,7 @@ def equiv_cfg(**kw):
         side_adapter_vit_list="0,1", side_adapter_bert_list="0,1",
         bert_adapter_down_size=8, cv_adapter_down_size=8,
         adapter_type="IISAN", adding_adapter_to="all",
+        fine_tune_to="None",
         compute_dtype="float32", max_seq_len=L, min_seq_len=3,
         drop_rate=0.0, adapter_dropout_rate=0.0, tower_dropout=0.0,
         fused_tower_attention=False, fused_user_encoder=False)

@@ -41,6 +41,7 @@ def test_uncached_gate_introspection():
         side_adapter_vit_list="0,1", side_adapter_bert_list="0,1",
         bert_adapter_down_size=8, cv_adapter_down_size=8,
         adapter_type="IISAN", adding_adapter_to="all",
+        fine_tune_to="None",
         compute_dtype="float32", max_seq_len=4, min_seq_len=3)
     corpus = synthetic_corpus(n_users=8, item_num=15, max_seq_len=4,
                               min_seq_len=3)

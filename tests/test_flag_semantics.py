@@ -199,6 +199,24 @@ def test_fine_tune_to_invalid_raises():
     validate_config(tiny_cfg(fine_tune_to="None"))  # PEFT default
 
 
+def test_fine_tune_to_all_with_peft_trains_towers():
+    """fine_tune_to='all' is a `pass` in the reference (run.py:177-178):
+    tower params keep their load-time trainability, so PEFT + 'all'
+    trains towers AND adapters (minus the freeze_paras_before prefix)."""
+    cfg = tiny_cfg()
+    params = init_uncached_params(cfg)
+    frozen = flat_mask(trainable_mask(params, "iisan"))
+    assert not frozen["text_tower/bert/layer_0/intermediate/kernel"]
+    mask = flat_mask(trainable_mask(params, "iisan", fine_tune_to_all=True))
+    assert mask["text_tower/bert/layer_0/intermediate/kernel"]
+    assert mask["image_tower/vit/layer_1/output/kernel"]
+    # The index freeze still bites under 'all' (load-time state kept).
+    mask5 = flat_mask(trainable_mask(params, "iisan", fine_tune_to_all=True,
+                                     freeze_paras_before=5))
+    assert not mask5["text_tower/bert/word_embeddings/embedding"]
+    assert mask5["text_tower/bert/layer_0/attention/query/kernel"]
+
+
 def test_fine_tune_to_none_without_adapters_raises():
     """Everything frozen + no adapters = nothing trains; fail loudly
     instead of reproducing the reference's silent degenerate state."""

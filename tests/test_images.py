@@ -291,3 +291,33 @@ def test_shim_rejects_real_lmdb_directory(tmp_path):
     (d / "data.mdb").write_bytes(b"\x00" * 64)
     with pytest.raises(lmdb_shim.Error, match="install the 'lmdb'"):
         lmdb_shim.open(str(d), subdir=True, readonly=True)
+
+
+def test_shim_cursor_matches_real_lmdb_surface(tmp_path):
+    """The shim cursor must behave like lmdb.Cursor for the operations the
+    real API defines (first/next/set_key/set_range/iternext/iteration/
+    context manager) - not just `for k, v in txn.cursor()`."""
+    from iisan_tpu.data import lmdb_shim
+
+    env = lmdb_shim.open(str(tmp_path / "db"), subdir=True)
+    with env.begin(write=True) as txn:
+        for k, v in ((b"b", b"2"), (b"a", b"1"), (b"c", b"3")):
+            txn.put(k, v)
+
+    txn = env.begin()
+    cur = txn.cursor()
+    assert cur.first() and cur.key() == b"a" and cur.value() == b"1"
+    assert cur.next() and cur.item() == (b"b", b"2")
+    assert cur.set_key(b"c") and cur.value() == b"3"
+    assert not cur.set_key(b"zz")
+    assert cur.set_range(b"aa") and cur.key() == b"b"
+
+    # iternext from a position, keys-only / values-only modes
+    cur2 = txn.cursor()
+    assert list(cur2.iternext()) == [(b"a", b"1"), (b"b", b"2"), (b"c", b"3")]
+    cur3 = txn.cursor()
+    cur3.set_key(b"b")
+    assert list(cur3.iternext(keys=True, values=False)) == [b"b", b"c"]
+    # plain iteration and context-manager use both work
+    with env.begin().cursor() as cur4:
+        assert [k for k, _ in cur4] == [b"a", b"b", b"c"]

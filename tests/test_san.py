@@ -216,3 +216,24 @@ def test_batch_intra_branches_identical_numerics():
                 continue
             np.testing.assert_allclose(np.asarray(a), np.asarray(b),
                                        rtol=1e-5, atol=1e-6)
+
+
+def test_multi_reference_cascade_scan_fallback_matches_unroll():
+    """K > unroll_limit switches multi_reference_cascade to lax.scan
+    (bounded HLO for Versa-style tap lists); numerics must match the
+    unrolled path exactly in structure, to fp32 tolerance in value."""
+    import jax.numpy as jnp
+
+    from iisan_tpu.ops.fused_san import multi_reference_cascade
+
+    rng = np.random.default_rng(2)
+    s, n, k, d, r = 2, 4, 12, 8, 4  # k=12 > default unroll_limit=8
+    f32 = lambda *shape: jnp.asarray(rng.standard_normal(shape), jnp.float32)
+    coef_a, coef_b = f32(s, k), f32(s, k)
+    taps, wd, bd = f32(s, n, k, d), 0.1 * f32(s, k, d, r), 0.1 * f32(s, k, r)
+    wu, bu, c0 = 0.1 * f32(s, k, r, d), 0.1 * f32(s, k, d), f32(s, n, d)
+    args = (coef_a, coef_b, taps, wd, bd, wu, bu, c0)
+    unrolled = multi_reference_cascade(*args, unroll_limit=k)
+    scanned = multi_reference_cascade(*args)  # default limit 8 -> scan
+    np.testing.assert_allclose(np.asarray(unrolled), np.asarray(scanned),
+                               rtol=1e-5, atol=1e-6)

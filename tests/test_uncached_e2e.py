@@ -23,6 +23,7 @@ def tiny_cfg(**kw):
         side_adapter_vit_list="0,1", side_adapter_bert_list="0,1",
         bert_adapter_down_size=8, cv_adapter_down_size=8,
         adapter_type="IISAN", adding_adapter_to="all",
+        fine_tune_to="None",
         compute_dtype="float32", max_seq_len=4, min_seq_len=3)
     base.update(kw)
     return IISANConfig(**base)
@@ -165,6 +166,7 @@ def test_uncached_trains_from_lmdb_store(tmp_path):
         side_adapter_vit_list="0,1", side_adapter_bert_list="0,1",
         bert_adapter_down_size=8, cv_adapter_down_size=8,
         adapter_type="IISAN", adding_adapter_to="all",
+        fine_tune_to="None",
         compute_dtype="float32", max_seq_len=4, min_seq_len=3,
         eval_batch_size=8, log_dir=str(tmp_path / "logs"),
         ckpt_dir=str(tmp_path / "ckpts"), save_checkpoints=False)
