@@ -310,6 +310,49 @@ class CachedTrainer(TrainLoopMixin):
         return float(mean_loss)
 
     # ------------------------------------------------------------------
+    def _build_multi_epoch_fn(self):
+        """lax.scan over whole epochs: N epochs of training in ONE device
+        dispatch.  Each epoch's body is exactly _make_scan_core, so the
+        math (per-epoch permutation gather, RNG threading, optimizer
+        updates) is identical to N sequential run_epoch calls - only the
+        per-epoch host round-trip (~30 ms over a tunneled chip) and its
+        dispatch overhead disappear.  Epoch shuffles stay host-seeded:
+        they arrive stacked as a (E, steps, batch) argument."""
+        scan_core = self._make_scan_core()
+
+        @functools.partial(jax.jit, donate_argnums=(0, 1))
+        def multi_fn(params, opt_state, rng, perms, tables):
+            def body(carry, perm):
+                params, opt_state, rng = carry
+                params, opt_state, rng, mean_loss, _ = scan_core(
+                    params, opt_state, rng, perm, tables)
+                return (params, opt_state, rng), mean_loss
+
+            (params, opt_state, rng), losses = jax.lax.scan(
+                body, (params, opt_state, rng), perms)
+            return params, opt_state, rng, losses
+
+        return multi_fn
+
+    def run_epochs(self, start_epoch: int, n_epochs: int) -> list:
+        """Train ``n_epochs`` consecutive epochs in one dispatch; returns
+        their mean losses.  Bit-compatible with sequential run_epoch
+        calls (same permutations, same RNG threading)."""
+        if not hasattr(self, "_multi_epoch_fn"):
+            self._multi_epoch_fn = self._build_multi_epoch_fn()
+        from jax.sharding import NamedSharding, PartitionSpec as P
+
+        perms = np.stack([self.epoch_permutation(e)
+                          for e in range(start_epoch, start_epoch + n_epochs)])
+        spec = self._perm_sh.spec
+        perms = self._put(perms, NamedSharding(self.mesh, P(None, *spec)))
+        tables = (self.cv_table, self.text_table, self.train_seqs,
+                  self.train_log_mask, self.pop_prob)
+        self.params, self.opt_state, self.rng, losses = self._multi_epoch_fn(
+            self.params, self.opt_state, self.rng, perms, tables)
+        return [float(x) for x in np.asarray(losses)]
+
+    # ------------------------------------------------------------------
     def fused_item_table(self):
         return compute_item_tables(
             self.model, self.params, self.cv_table, self.text_table)

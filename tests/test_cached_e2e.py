@@ -117,3 +117,19 @@ def test_fused_epoch_eval_matches_separate_path():
     for x, y in zip(jtu.tree_leaves(a.params), jtu.tree_leaves(b.params)):
         np.testing.assert_allclose(np.asarray(x), np.asarray(y),
                                    rtol=1e-5, atol=1e-6)
+
+
+def test_run_epochs_matches_sequential_run_epoch():
+    """run_epochs (N epochs in one dispatch, lax.scan over epochs) must
+    reproduce N sequential run_epoch calls - same permutations, same RNG
+    threading, same optimizer trajectory."""
+    import jax.tree_util as jtu
+
+    a = make_trainer()
+    b = make_trainer()
+    seq_losses = [a.run_epoch(e) for e in range(3)]
+    fused_losses = b.run_epochs(0, 3)
+    np.testing.assert_allclose(seq_losses, fused_losses, rtol=1e-6, atol=1e-7)
+    for x, y in zip(jtu.tree_leaves(a.params), jtu.tree_leaves(b.params)):
+        np.testing.assert_allclose(np.asarray(x), np.asarray(y),
+                                   rtol=1e-6, atol=1e-7)
