@@ -8,8 +8,9 @@ dataloader-bound (11 images x 224^2 per sample), so this module provides:
 
   * ``LmdbImageStore`` - reads the reference's exact LMDB format via the
     ``lmdb`` package when installed; on hosts without liblmdb the
-    pure-Python shim backend (lmdb_shim.py) provides the same API over a
-    shim file format so the logic still runs (docs/PARITY.md);
+    pure-Python backend (lmdbfile.py) reads and writes the real LMDB
+    on-disk format itself, so reference-produced ``.lmdb`` files work
+    with no native dependency (docs/PARITY.md);
   * ``DirImageStore`` - plain directory of JPEG/PNG files keyed by item
     name (no LMDB dependency);
   * ``SyntheticImageStore`` - deterministic random images for CI/bench;
@@ -34,15 +35,17 @@ from typing import Iterable, Iterator, Sequence
 
 import numpy as np
 
-try:  # optional: the reference's storage backend
+try:  # optional: the reference's storage backend (native liblmdb)
     import lmdb  # type: ignore
     HAS_LMDB = True
-    LMDB_IS_SHIM = False
-except ImportError:  # no liblmdb in this environment: pure-Python shim
-    from . import lmdb_shim as lmdb  # type: ignore
+    LMDB_IS_PUREPY = False
+except ImportError:  # no liblmdb: pure-Python real-format implementation
+    from . import lmdbfile as lmdb  # type: ignore
 
     HAS_LMDB = True
-    LMDB_IS_SHIM = True
+    LMDB_IS_PUREPY = True
+
+LMDB_IS_SHIM = LMDB_IS_PUREPY  # back-compat alias (pre-round-4 name)
 
 
 def _resize_u8(img_u8: np.ndarray, resize: int) -> np.ndarray:
@@ -209,8 +212,8 @@ def build_lmdb(items_tsv: str, image_dir: str, out_path: str,
                commit_every: int = 5000):
     """Build the reference-layout LMDB from a directory of JPEGs -
     capability parity with Dataset/build_lmdb.py:25-86.  Uses the real
-    ``lmdb`` package when installed, else the pure-Python shim backend
-    (data/lmdb_shim.py; same record layout, different file format)."""
+    ``lmdb`` package when installed, else the pure-Python backend
+    (data/lmdbfile.py) which writes the same on-disk LMDB format."""
     import pandas as pd
     from PIL import Image
 

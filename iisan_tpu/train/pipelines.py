@@ -166,11 +166,10 @@ def run_from_config(cfg: IISANConfig, eval_only: bool = False):
 
         lmdb_path = os.path.join(cfg.root_data_dir, cfg.dataset, cfg.lmdb_data)
         # An LMDB source is a data file, or a directory holding one
-        # (real lmdb: data.mdb; pure-Python shim: data.shimdb).  A plain
-        # directory of JPEGs routes to DirImageStore.
+        # (data.mdb — written by liblmdb or by the pure-Python backend,
+        # same format).  A plain directory of JPEGs routes to DirImageStore.
         is_lmdb = (os.path.isfile(lmdb_path)
-                   or os.path.isfile(os.path.join(lmdb_path, "data.mdb"))
-                   or os.path.isfile(os.path.join(lmdb_path, "data.shimdb")))
+                   or os.path.isfile(os.path.join(lmdb_path, "data.mdb")))
         if HAS_LMDB and is_lmdb:
             store = LmdbImageStore(lmdb_path, cfg.CV_resize)
         elif os.path.isdir(lmdb_path):

@@ -4,8 +4,9 @@ Script-surface parity with /root/reference/Dataset/build_lmdb.py:25-86
 (its __main__ loops hard-coded dataset names; here the paths are flags).
 Writes the same record layout (pickled LMDBImage keyed by item name,
 plus __keys__/__len__) and the bad-file TSV report (build_lmdb.py:84-86).
-Uses the real ``lmdb`` package when installed, else the pure-Python shim
-backend (iisan_tpu/data/lmdb_shim.py).
+Uses the real ``lmdb`` package when installed, else the pure-Python
+backend (iisan_tpu/data/lmdbfile.py) which writes the same on-disk LMDB
+format — output is readable by liblmdb tooling either way.
 
     python scripts/build_lmdb.py --items <items.tsv> --images <jpeg_dir> \
         --out image.lmdb [--commit-every 5000] [--bad-report lmdb_bad_file.tsv]
@@ -26,11 +27,11 @@ def main():
     ap.add_argument("--bad-report", default="lmdb_bad_file.tsv")
     args = ap.parse_args()
 
-    from iisan_tpu.data.images import LMDB_IS_SHIM, build_lmdb
+    from iisan_tpu.data.images import LMDB_IS_PUREPY, build_lmdb
 
-    if LMDB_IS_SHIM:
-        print("note: 'lmdb' package not installed - writing the shim "
-              "backend format (see iisan_tpu/data/lmdb_shim.py)")
+    if LMDB_IS_PUREPY:
+        print("note: 'lmdb' package not installed - using the pure-Python "
+              "LMDB-format writer (iisan_tpu/data/lmdbfile.py)")
     bad = build_lmdb(args.items, args.images, args.out,
                      commit_every=args.commit_every)
     print(f"done; {len(bad)} bad files")

@@ -268,36 +268,38 @@ def test_uncached_pipeline_uses_lmdb_store(tmp_path):
 
     assert HAS_LMDB
     is_lmdb = (os.path.isfile(lmdb_path)
-               or os.path.isfile(os.path.join(lmdb_path, "data.mdb"))
-               or os.path.isfile(os.path.join(lmdb_path, "data.shimdb")))
+               or os.path.isfile(os.path.join(lmdb_path, "data.mdb")))
     assert is_lmdb
     # and a plain jpeg dir is NOT routed to the LMDB store
     assert not (os.path.isfile(image_dir)
-                or os.path.isfile(os.path.join(image_dir, "data.mdb"))
-                or os.path.isfile(os.path.join(image_dir, "data.shimdb")))
+                or os.path.isfile(os.path.join(image_dir, "data.mdb")))
 
 
-def test_shim_rejects_real_lmdb_directory(tmp_path):
-    """Directory-form real LMDB (data.mdb) without the lmdb package must
-    raise the install-lmdb guidance, not a missing-shimdb error."""
-    from iisan_tpu.data.images import LMDB_IS_SHIM
-
-    if not LMDB_IS_SHIM:
-        pytest.skip("real lmdb installed")
-    from iisan_tpu.data import lmdb_shim
+def test_purepy_reads_directory_form_lmdb(tmp_path):
+    """Directory-form LMDB (data.mdb) opens through the pure-Python
+    backend; a garbage data.mdb raises a clear bad-magic error."""
+    from iisan_tpu.data import lmdbfile
 
     d = tmp_path / "real.lmdb"
-    d.mkdir()
-    (d / "data.mdb").write_bytes(b"\x00" * 64)
-    with pytest.raises(lmdb_shim.Error, match="install the 'lmdb'"):
-        lmdb_shim.open(str(d), subdir=True, readonly=True)
+    env = lmdbfile.open(str(d), subdir=True)
+    with env.begin(write=True) as txn:
+        txn.put(b"k", b"v")
+    ro = lmdbfile.open(str(d), subdir=True, readonly=True)
+    assert ro.begin().get(b"k") == b"v"
+    ro.close()
+
+    bad = tmp_path / "garbage.lmdb"
+    bad.mkdir()
+    (bad / "data.mdb").write_bytes(b"\x00" * 64)
+    with pytest.raises(lmdbfile.Error, match="not an LMDB data file"):
+        lmdbfile.open(str(bad), subdir=True, readonly=True)
 
 
-def test_shim_cursor_matches_real_lmdb_surface(tmp_path):
-    """The shim cursor must behave like lmdb.Cursor for the operations the
+def test_cursor_matches_real_lmdb_surface(tmp_path):
+    """The cursor must behave like lmdb.Cursor for the operations the
     real API defines (first/next/set_key/set_range/iternext/iteration/
     context manager) - not just `for k, v in txn.cursor()`."""
-    from iisan_tpu.data import lmdb_shim
+    from iisan_tpu.data import lmdbfile as lmdb_shim
 
     env = lmdb_shim.open(str(tmp_path / "db"), subdir=True)
     with env.begin(write=True) as txn:

@@ -129,9 +129,9 @@ def test_bitfit_mask():
 
 
 def test_uncached_trains_from_lmdb_store(tmp_path):
-    """Storage-layer to training loop: build an LMDB from JPEGs (shim
-    backend here; same code path as the real package) and train the
-    uncached model from it via run_from_config (SURVEY L2 -> L3 -> L6)."""
+    """Storage-layer to training loop: build an LMDB from JPEGs (real
+    on-disk format via the pure-Python backend) and train the uncached
+    model from it via run_from_config (SURVEY L2 -> L3 -> L6)."""
     from PIL import Image
 
     from iisan_tpu.config import IISANConfig
