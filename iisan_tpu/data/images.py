@@ -45,8 +45,6 @@ except ImportError:  # no liblmdb: pure-Python real-format implementation
     HAS_LMDB = True
     LMDB_IS_PUREPY = True
 
-LMDB_IS_SHIM = LMDB_IS_PUREPY  # back-compat alias (pre-round-4 name)
-
 
 def _resize_u8(img_u8: np.ndarray, resize: int) -> np.ndarray:
     """uint8 HWC RGB -> resized uint8 HWC.

@@ -168,6 +168,29 @@ class _TreeReader:
     def _nkeys(self, lower: int) -> int:
         return (lower - PAGEHDRSZ) // 2
 
+    def _node_key(self, page_off: int, ptr_idx: int) -> bytes:
+        ofs = struct.unpack_from(
+            "<H", self.buf, page_off + PAGEHDRSZ + 2 * ptr_idx)[0]
+        ksize = struct.unpack_from("<H", self.buf, page_off + ofs + 6)[0]
+        ko = page_off + ofs + NODEHDRSZ
+        return bytes(self.buf[ko:ko + ksize])
+
+    def _bisect(self, page_off: int, nkeys: int, key: bytes,
+                right: bool = False, lo: int = 0) -> int:
+        """bisect_left/right over the page's keys, decoding only the
+        O(log n) probed keys (get() runs once per image on the uncached
+        hot path; materializing every key per page would allocate ~100x
+        more)."""
+        hi = nkeys
+        while lo < hi:
+            mid = (lo + hi) // 2
+            k = self._node_key(page_off, mid)
+            if (k <= key) if right else (k < key):
+                lo = mid + 1
+            else:
+                hi = mid
+        return lo
+
     def _node(self, page_off: int, ptr_idx: int):
         ofs = struct.unpack_from(
             "<H", self.buf, page_off + PAGEHDRSZ + 2 * ptr_idx)[0]
@@ -186,6 +209,13 @@ class _TreeReader:
             off, pflags, _, _ = self._page(pgno)
             if not pflags & P_OVERFLOW:
                 raise Error(f"page {pgno} expected overflow, flags {pflags:#x}")
+            npages = _OVPAGES.unpack_from(self.buf, off + 12)[0]
+            # bound the WHOLE chain: mmap slicing truncates silently past
+            # EOF, which would hand back a short value instead of an error
+            if (dsize > npages * self.psize - PAGEHDRSZ
+                    or off + npages * self.psize > len(self.buf)):
+                raise Error(f"overflow chain at page {pgno} truncated "
+                            f"({npages} pages for {dsize} bytes)")
             start = off + PAGEHDRSZ
             return bytes(self.buf[start:start + dsize])
         return bytes(self.buf[data_off:data_off + dsize])
@@ -211,18 +241,20 @@ class _TreeReader:
         pgno = self.root
         for _ in range(64):                  # depth bound; real trees are ~4
             off, flags, lower, upper = self._page(pgno)
-            keys = self._keys(off, lower)
+            nkeys = self._nkeys(lower)
             if flags & P_BRANCH:
-                # child i covers [keys[i], keys[i+1]); keys[0] is empty
-                i = bisect_right(keys, key, lo=1) - 1
+                # child i covers [key_i, key_{i+1}); node 0's key is empty
+                i = self._bisect(off, nkeys, key, right=True, lo=1) - 1
                 pgno = self._branch_child(off, i)
             elif flags & P_LEAF:
                 if flags & P_LEAF2:
                     raise Error("LEAF2 (fixed-size dupsort) pages unsupported")
-                i = bisect_left(keys, key)
-                if i >= len(keys) or keys[i] != key:
+                i = self._bisect(off, nkeys, key)
+                if i >= nkeys:
                     return None
-                lo, hi, nflags, _k, data_off = self._node(off, i)
+                lo, hi, nflags, k, data_off = self._node(off, i)
+                if k != key:
+                    return None
                 return self._leaf_value(lo, hi, nflags, data_off)
             else:
                 raise Error(f"page {pgno} has unexpected flags {flags:#x}")
@@ -442,10 +474,20 @@ def write_db(path: str, items: dict, psize: int = DEFAULT_PSIZE,
 # lmdb-compatible API surface
 # ---------------------------------------------------------------------------
 
+_TOMBSTONE = object()                       # pending-delete marker
+
+
 class _Txn:
+    """Write transactions buffer puts/deletes in a private overlay and
+    apply them on commit; abort() (or an exception unwinding a
+    with-block) discards them — matching real lmdb, where an aborted
+    transaction leaves no trace."""
+
     def __init__(self, env: "Environment", write: bool):
         self._env = env
         self._write = write
+        self._ops = {} if write else None   # key -> value | _TOMBSTONE
+        self._done = False
         if write and env._readonly:
             raise Error("write transaction on read-only environment")
 
@@ -453,53 +495,99 @@ class _Txn:
         return self
 
     def __exit__(self, *exc):
-        if self._write and exc[0] is None:
-            self.commit()
+        if self._write and not self._done:
+            if exc[0] is None:
+                self.commit()
+            else:
+                self.abort()
         return False
 
+    def _check_live(self):
+        if self._done:
+            raise Error("transaction already committed/aborted")
+
     def get(self, key: bytes, default=None):
-        v = self._env._get(bytes(key))
+        key = bytes(key)
+        if self._ops and key in self._ops:
+            v = self._ops[key]
+            return default if v is _TOMBSTONE else v
+        v = self._env._get(key)
         return default if v is None else v
 
     def put(self, key: bytes, value: bytes, overwrite: bool = True) -> bool:
         if not self._write:
             raise Error("put on read-only transaction")
+        self._check_live()
         key = bytes(key)
         if not key or len(key) > MAXKEYSIZE:
             raise Error(f"bad key size {len(key)} (1..{MAXKEYSIZE})")
-        if not overwrite and key in self._env._data:
+        if not overwrite and self.get(key) is not None:
             return False
-        self._env._data[key] = bytes(value)
+        self._ops[key] = bytes(value)
         return True
 
     def delete(self, key: bytes) -> bool:
         if not self._write:
             raise Error("delete on read-only transaction")
-        return self._env._data.pop(bytes(key), None) is not None
+        self._check_live()
+        key = bytes(key)
+        if self.get(key) is None:
+            return False
+        self._ops[key] = _TOMBSTONE
+        return True
 
     def commit(self):
-        if self._write:
+        if self._write and not self._done:
+            for k, v in self._ops.items():
+                if v is _TOMBSTONE:
+                    self._env._data.pop(k, None)
+                else:
+                    self._env._data[k] = v
+            self._ops = {}
             self._env._persist()
+        self._done = True
 
     def abort(self):
-        pass
+        if self._write:
+            self._ops = {}
+        self._done = True
 
     def cursor(self) -> "_Cursor":
-        return _Cursor(self._env)
+        return _Cursor(self._env, self._ops or None)
 
 
 class _Cursor:
     """lmdb.Cursor surface: first/next/set_key/set_range/iternext,
     iteration and context-manager use.  Streams from the mapped tree on
-    read-only environments (nothing materialized)."""
+    read-only environments (nothing materialized).  Position semantics
+    follow the real package: next() on a fresh cursor lands on the first
+    record, and a cursor that has run past the end stays exhausted
+    (iternext yields nothing) instead of rewinding."""
 
-    def __init__(self, env: "Environment"):
+    def __init__(self, env: "Environment", ops: dict | None = None):
         self._env = env
+        self._ops = ops                     # write-txn overlay, if any
         self._cur = None                    # (key, value) or None
         self._it = iter(())
+        self._fresh = True                  # never positioned yet
+
+    def _source(self, key):
+        it = self._env._iter_from(key)
+        if not self._ops:
+            return it
+        # merge the write transaction's pending puts/deletes (real lmdb
+        # cursors see uncommitted writes of their own transaction)
+        merged = dict(it)
+        for k, v in self._ops.items():
+            if v is _TOMBSTONE:
+                merged.pop(k, None)
+            elif key is None or k >= key:
+                merged[k] = v
+        return iter(sorted(merged.items()))
 
     def _seek(self, key=None) -> bool:
-        self._it = self._env._iter_from(key)
+        self._fresh = False
+        self._it = self._source(key)
         self._cur = next(self._it, None)
         return self._cur is not None
 
@@ -508,6 +596,8 @@ class _Cursor:
         return self._seek(None)
 
     def next(self) -> bool:
+        if self._fresh:                     # real lmdb: first record
+            return self.first()
         self._cur = next(self._it, None)
         return self._cur is not None
 
@@ -532,7 +622,7 @@ class _Cursor:
 
     # -- iteration ----------------------------------------------------------
     def iternext(self, keys: bool = True, values: bool = True):
-        if self._cur is None and not self._seek(None):
+        if self._fresh and not self._seek(None):
             return
         while self._cur is not None:
             k, v = self._cur
@@ -643,8 +733,12 @@ class Environment:
                 "entries": len(self._data)}
 
     def info(self):
-        return {"map_size": self._map_size or 0,
-                "last_txnid": self._txnid, "last_pgno": 0,
+        meta = self._tree.meta if self._tree is not None else None
+        map_size = (meta.mapsize if meta is not None
+                    else self._map_size or 0)
+        return {"map_size": max(map_size, self._map_size or 0),
+                "last_txnid": self._txnid,
+                "last_pgno": meta.last_pg if meta is not None else 0,
                 "map_addr": 0, "max_readers": 126, "num_readers": 0}
 
     def sync(self, force: bool = True):

@@ -168,6 +168,13 @@ def run_from_config(cfg: IISANConfig, eval_only: bool = False):
         # An LMDB source is a data file, or a directory holding one
         # (data.mdb — written by liblmdb or by the pure-Python backend,
         # same format).  A plain directory of JPEGs routes to DirImageStore.
+        if os.path.isfile(os.path.join(lmdb_path, "data.shimdb")):
+            # pre-round-4 pickle-shim directory: fail with guidance here
+            # rather than FileNotFoundError deep in the loader threads
+            raise RuntimeError(
+                f"{lmdb_path} holds a legacy pickle-shim database "
+                "(data.shimdb) from an earlier revision; rebuild it with "
+                "scripts/build_lmdb.py (output is now real LMDB format)")
         is_lmdb = (os.path.isfile(lmdb_path)
                    or os.path.isfile(os.path.join(lmdb_path, "data.mdb")))
         if HAS_LMDB and is_lmdb:

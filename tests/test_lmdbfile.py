@@ -86,7 +86,7 @@ def test_overflow_values(tmp_path):
     big = os.urandom(150_000)
     exact_page = b"x" * (DEFAULT_PSIZE - 16)          # fills pages exactly
     items = {b"big": big, b"exact": exact_page, b"small": b"s",
-             b"edge": b"y" * 2032}                    # 8+4+2032 == nodemax
+             b"edge": b"y" * 2032}                    # 2044 > nodemax: spills
     path = _write(tmp_path, items)
     env = lmdbfile.open(path, subdir=False, readonly=True)
     st = env.stat()
@@ -200,6 +200,107 @@ def test_fuzz_against_dict_oracle(tmp_path):
     probe = sorted(oracle)[len(oracle) // 2]
     cur = txn.cursor()
     assert cur.set_range(probe) and cur.key() == probe
+    env.close()
+
+
+def test_inline_overflow_boundary(tmp_path):
+    """Pin liblmdb's exact spill threshold: a node of exactly nodemax
+    (2040 for 4 KB pages) stays inline; one byte more goes F_BIGDATA."""
+    inline_v = b"a" * 2028                # 8 + 4 + 2028 == 2040 == nodemax
+    spill_v = b"b" * 2029                 # one past -> overflow
+    path = _write(tmp_path, {b"keyA": inline_v, b"keyB": spill_v})
+    env = lmdbfile.open(path, subdir=False, readonly=True)
+    st = env.stat()
+    assert st["overflow_pages"] == 1      # only keyB spilled (2045 B fits 1pg)
+    txn = env.begin()
+    assert txn.get(b"keyA") == inline_v and txn.get(b"keyB") == spill_v
+    # golden decode of the leaf: keyA inline (flags 0), keyB F_BIGDATA
+    raw = open(path, "rb").read()
+    leaf_off = 3 * DEFAULT_PSIZE          # overflow page emitted first (pg 2)
+    _, _, lflags, lower, _ = struct.unpack_from("<QHHHH", raw, leaf_off)
+    assert lflags == P_LEAF and (lower - 16) // 2 == 2
+    for i, want_flags in ((0, 0), (1, 0x01)):
+        node_ofs = struct.unpack_from("<H", raw, leaf_off + 16 + 2 * i)[0]
+        nflags = struct.unpack_from("<H", raw, leaf_off + node_ofs + 4)[0]
+        assert nflags == want_flags
+    env.close()
+
+
+def test_abort_discards_writes(tmp_path):
+    """Aborted transactions (explicit or via exception) leave no trace —
+    real-lmdb semantics, previously violated by the env-level overlay."""
+    path = _write(tmp_path, {b"a": b"1"})
+    env = lmdbfile.open(path, subdir=False)
+    txn = env.begin(write=True)
+    txn.put(b"partial", b"x")
+    assert txn.delete(b"a")
+    txn.abort()
+    with pytest.raises(Error, match="already committed/aborted"):
+        txn.put(b"more", b"y")
+    with env.begin(write=True) as txn2:
+        txn2.put(b"b", b"2")
+    assert _read_all(path) == {b"a": b"1", b"b": b"2"}
+    # exception unwinding a with-block also aborts
+    with pytest.raises(ValueError):
+        with env.begin(write=True) as txn3:
+            txn3.put(b"doomed", b"z")
+            raise ValueError("boom")
+    env.close()
+    assert _read_all(path) == {b"a": b"1", b"b": b"2"}
+
+
+def test_write_txn_sees_own_writes(tmp_path):
+    path = _write(tmp_path, {b"a": b"1", b"c": b"3"})
+    env = lmdbfile.open(path, subdir=False)
+    txn = env.begin(write=True)
+    txn.put(b"b", b"2")
+    assert txn.delete(b"c")
+    assert txn.get(b"b") == b"2" and txn.get(b"c") is None
+    assert not txn.put(b"a", b"X", overwrite=False)   # sees committed too
+    # the txn's cursor merges its uncommitted overlay
+    assert dict(txn.cursor().iternext()) == {b"a": b"1", b"b": b"2"}
+    txn.commit()
+    env.close()
+    assert _read_all(path) == {b"a": b"1", b"b": b"2"}
+
+
+def test_cursor_position_semantics(tmp_path):
+    """next() on a fresh cursor lands on the first record; an exhausted
+    cursor stays exhausted (no silent rewind) — lmdb.Cursor semantics."""
+    path = _write(tmp_path, {b"a": b"1", b"b": b"2"})
+    env = lmdbfile.open(path, subdir=False, readonly=True)
+    cur = env.begin().cursor()
+    assert cur.next() and cur.key() == b"a"           # fresh next == first
+    assert cur.next() and cur.key() == b"b"
+    assert not cur.next()
+    assert list(cur.iternext()) == []                 # exhausted stays so
+    assert not cur.next()
+    cur2 = env.begin().cursor()
+    assert list(cur2.iternext()) == [(b"a", b"1"), (b"b", b"2")]
+    assert list(cur2.iternext()) == []
+    env.close()
+
+
+def test_truncated_overflow_chain_raises(tmp_path):
+    val = os.urandom(30_000)
+    path = _write(tmp_path, {b"k": val})
+    npages = (16 - 1 + len(val)) // DEFAULT_PSIZE + 1
+    raw = open(path, "rb").read()
+    # cut the file mid-chain: drop the last two overflow pages
+    with open(path, "wb") as f:
+        f.write(raw[:(2 + npages - 2) * DEFAULT_PSIZE])
+    env = lmdbfile.open(path, subdir=False, readonly=True)
+    with pytest.raises(Error, match="truncated|beyond end"):
+        env.begin().get(b"k")
+    env.close()
+
+
+def test_readonly_info_reports_meta(tmp_path):
+    path = _write(tmp_path, {b"a": b"1"})
+    env = lmdbfile.open(path, subdir=False, readonly=True)
+    info = env.info()
+    assert info["map_size"] >= os.path.getsize(path)
+    assert info["last_pgno"] == 2 and info["last_txnid"] == 1
     env.close()
 
 
