@@ -183,6 +183,10 @@ class IISANConfig:
     # Persist epoch checkpoints on new best / every 10th epoch, process 0
     # (the reference always saves in train mode, Code_Cached/run.py:402-405).
     save_checkpoints: bool = True
+    # Non-empty: after training, export a serving artifact (fused item
+    # table + user-encoder params, serve.Recommender.save) to this path.
+    # No reference equivalent - its evaluation doubles as inference.
+    export_recommender: str = ""
     # Multi-host launch (torchrun/NCCL-init analog, run.py:479 +
     # scripts/run_IISAN.py:68): one process per host passes its rank; empty
     # coordinator = single-process / TPU auto-bootstrap.

@@ -11,6 +11,13 @@ scores -> mask history -> top-K.
     items, scores = rec.top_k(seq_ids, k=10)   # (B, k) item ids
 
 Works with any trainer exposing the eval surface (cached / uncached / id).
+
+Command line (artifact produced by ``save()`` or the trainer's
+``--export_recommender`` flag; input rows in the behaviors-TSV layout
+``user_id \t space-separated item ids``):
+
+    python -m iisan_tpu.serve artifact.npz --input seqs.tsv \
+        --out recs.tsv [--k 10] [--batch 256] [--include-history]
 """
 
 from __future__ import annotations
@@ -147,3 +154,57 @@ class Recommender:
             jnp.asarray(tokens), jnp.asarray(log_mask),
             jnp.asarray(history), k)
         return np.asarray(ids), np.asarray(scores)
+
+
+def main(argv=None) -> int:
+    """Batch-serving CLI over a ``save()`` artifact."""
+    import argparse
+
+    ap = argparse.ArgumentParser(
+        description="top-K recommendations from a serving artifact")
+    ap.add_argument("artifact", help=".npz from Recommender.save / "
+                    "--export_recommender")
+    ap.add_argument("--input", required=True,
+                    help="TSV: user_id\\tspace-separated item ids")
+    ap.add_argument("--out", required=True,
+                    help="output TSV: user_id\\ttop-k ids\\tscores")
+    ap.add_argument("--k", type=int, default=10)
+    ap.add_argument("--batch", type=int, default=256)
+    ap.add_argument("--include-history", action="store_true",
+                    help="allow recommending items already in the history")
+    args = ap.parse_args(argv)
+
+    rec = Recommender.load(args.artifact)
+    users, seqs = [], []
+    with open(args.input) as f:
+        for line in f:
+            line = line.rstrip("\n")
+            if not line:
+                continue
+            user, _, id_str = line.partition("\t")
+            users.append(user)
+            seqs.append([int(t) for t in id_str.split()])
+    n_items = rec.fused_table.shape[0] - 1
+    for s in seqs:
+        bad = [i for i in s if not 0 < i <= n_items]
+        if bad:
+            raise SystemExit(f"item id(s) {bad[:5]} out of range "
+                             f"1..{n_items} for this artifact")
+    with open(args.out, "w") as out:
+        for start in range(0, len(users), args.batch):
+            chunk = seqs[start:start + args.batch]
+            ids, scores = rec.top_k(
+                chunk, k=args.k, exclude_history=not args.include_history)
+            for u, row_ids, row_sc in zip(users[start:start + args.batch],
+                                          ids, scores):
+                out.write(u + "\t" + " ".join(str(int(i)) for i in row_ids)
+                          + "\t" + " ".join(f"{s:.5f}" for s in row_sc)
+                          + "\n")
+    print(f"wrote {len(users)} recommendation rows to {args.out}")
+    return 0
+
+
+if __name__ == "__main__":
+    import sys
+
+    sys.exit(main())

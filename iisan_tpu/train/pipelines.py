@@ -221,4 +221,9 @@ def run_from_config(cfg: IISANConfig, eval_only: bool = False):
     tpme.record_run(time.time() - t0, trainer, label=cfg.pipeline,
                     result=result)
     log.info("TPME inputs: %s", tpme.summary())
+    if cfg.export_recommender:
+        from ..serve import Recommender
+
+        Recommender.from_trainer(trainer).save(cfg.export_recommender)
+        log.info("exported serving artifact to %s", cfg.export_recommender)
     return trainer, result

@@ -94,3 +94,79 @@ def test_save_load_roundtrip_bfloat16(tmp_path):
     got_ids, got_scores = rec2.top_k(seqs, k=5)
     assert np.isfinite(got_scores).all()
     np.testing.assert_array_equal(got_ids, want_ids)
+
+
+def test_serve_cli_roundtrip(tmp_path):
+    """python -m iisan_tpu.serve: artifact + behaviors-layout input TSV
+    -> top-K TSV matching the in-process Recommender."""
+    from iisan_tpu import serve
+
+    tr = make_trainer()
+    rec = Recommender.from_trainer(tr)
+    artifact = str(tmp_path / "rec.npz")
+    rec.save(artifact)
+
+    seqs = [[1, 5, 9], [2, 2, 7, 12, 3]]
+    inp = tmp_path / "seqs.tsv"
+    inp.write_text("U1\t1 5 9\nU2\t2 2 7 12 3\n")
+    out = tmp_path / "recs.tsv"
+    assert serve.main([artifact, "--input", str(inp), "--out", str(out),
+                       "--k", "5", "--batch", "1"]) == 0
+
+    want_ids, want_scores = Recommender.load(artifact).top_k(seqs, k=5)
+    lines = out.read_text().splitlines()
+    assert len(lines) == 2
+    for row, (user, w_ids, w_sc) in zip(
+            lines, zip(["U1", "U2"], want_ids, want_scores)):
+        u, ids_str, sc_str = row.split("\t")
+        assert u == user
+        np.testing.assert_array_equal(
+            np.array(ids_str.split(), np.int64), w_ids)
+        np.testing.assert_allclose(
+            np.array(sc_str.split(), np.float64), w_sc, atol=1e-4)
+
+
+def test_serve_cli_rejects_out_of_range_ids(tmp_path):
+    import pytest
+
+    from iisan_tpu import serve
+
+    rec = Recommender.from_trainer(make_trainer())
+    artifact = str(tmp_path / "rec.npz")
+    rec.save(artifact)
+    inp = tmp_path / "seqs.tsv"
+    inp.write_text("U1\t1 9999\n")
+    with pytest.raises(SystemExit, match="out of range"):
+        serve.main([artifact, "--input", str(inp),
+                    "--out", str(tmp_path / "recs.tsv")])
+
+
+def test_export_recommender_flag(tmp_path):
+    """--export_recommender writes a ready-to-serve artifact at the end
+    of run_from_config; the artifact reproduces the trainer's top-K."""
+    from iisan_tpu.config import IISANConfig
+    from iisan_tpu.train.pipelines import run_from_config
+
+    rng = np.random.default_rng(0)
+    n_items = 20
+    with open(tmp_path / "items.tsv", "w") as f:
+        for i in range(n_items):
+            f.write(f"I{i:04d}\tTitle {i}\n")
+    with open(tmp_path / "users.tsv", "w") as f:
+        for u in range(12):
+            seq = " ".join(f"I{int(x):04d}" for x in
+                           rng.integers(0, n_items, size=8))
+            f.write(f"U{u}\t{seq}\n")
+    artifact = str(tmp_path / "deploy.npz")
+    cfg = IISANConfig(
+        root_data_dir=str(tmp_path), dataset="", behaviors="users.tsv",
+        news="items.tsv", images="items.tsv", pipeline="id", epoch=1,
+        batch_size=4, embedding_dim=16, max_seq_len=4, min_seq_len=3,
+        eval_batch_size=8, compute_dtype="float32",
+        log_dir=str(tmp_path / "logs"), ckpt_dir=str(tmp_path / "ckpts"),
+        save_checkpoints=False, export_recommender=artifact)
+    trainer, _ = run_from_config(cfg)
+
+    want_ids, _ = Recommender.from_trainer(trainer).top_k([[1, 2, 3]], k=5)
+    got_ids, _ = Recommender.load(artifact).top_k([[1, 2, 3]], k=5)
+    np.testing.assert_array_equal(got_ids, want_ids)
