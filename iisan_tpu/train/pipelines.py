@@ -199,14 +199,27 @@ def run_from_config(cfg: IISANConfig, eval_only: bool = False):
         log.info("resumed from %s at epoch %d", cfg.load_ckpt_name,
                  start_epoch)
     elif cfg.pretrained_recsys_model != "None":
-        # warm-start params only (run.py:141-149)
-        from ..utils.checkpoint import restore_checkpoint
+        # warm-start params only (run.py:141-149).  A .pt path is a
+        # reference-trained torch checkpoint (save_model layout) —
+        # imported directly so migrating users keep their trained models.
+        if cfg.pretrained_recsys_model.endswith(".pt"):
+            import jax
+            import jax.numpy as jnp
 
-        state, _ = restore_checkpoint(
-            cfg.ckpt_dir, cfg.pretrained_recsys_model,
-            {"params": trainer.params, "opt_state": trainer.opt_state,
-             "rng": trainer.rng, "epoch": 0})
-        trainer.params = state["params"]
+            from ..utils.torch_import import params_from_reference_checkpoint
+
+            trainer.params = jax.tree_util.tree_map(
+                jnp.asarray,
+                params_from_reference_checkpoint(
+                    cfg.pretrained_recsys_model, template=trainer.params))
+        else:
+            from ..utils.checkpoint import restore_checkpoint
+
+            state, _ = restore_checkpoint(
+                cfg.ckpt_dir, cfg.pretrained_recsys_model,
+                {"params": trainer.params, "opt_state": trainer.opt_state,
+                 "rng": trainer.rng, "epoch": 0})
+            trainer.params = state["params"]
         log.info("warm-started params from %s", cfg.pretrained_recsys_model)
 
     if eval_only:

@@ -1,0 +1,200 @@
+"""Import reference-trained checkpoints into iisan_tpu parameter trees.
+
+The reference persists ``{'model_state_dict': model.module.state_dict(),
+'optimizer': ..., 'rng_state': ..., 'cuda_rng_state': ...}`` per epoch
+(``Code_Cached/data_utils/utils.py:104-110``).  For the cached IISAN
+model the state dict is compact — ``IISANAdaptedMModel`` keeps only the
+adapter stacks, gates, head projections and the two borrowed tower heads
+(``Code_Cached/model/model.py:257-302``), not the frozen towers — so a
+migrating user can load their trained ``epoch-N.pt`` directly into this
+framework for continued training or serving.
+
+Mappings mirror the module-level weight copies proven numerically
+equivalent in tests/test_reference_parity.py (SAN forward and SASRec
+user encoder match the imported reference modules to fp32 tolerance);
+here they operate on state-dict keys so no torch module construction is
+needed.  Torch linear weights are (out, in) and transpose to Flax
+(in, out) kernels; adapter ModuleLists stack into the (K, ...) grouped
+tensors our vectorized cascades consume.
+
+Wired into the trainer lifecycle: ``--pretrained_recsys_model
+path/to/epoch-N.pt`` (the reference's own warm-start flag,
+``Code_Cached/run.py:141-149``) detects the ``.pt`` suffix and routes
+here; orbax checkpoints take the existing path.
+
+Scope: the cached/cached_asym model families (``item_tower='modal'``,
+any modality) and the ID model.  Uncached checkpoints embed full
+monkey-patched HF towers and are out of scope — rebuild those caches and
+fine-tune, or import the towers via ``models/*.params_from_hf_torch``.
+"""
+
+from __future__ import annotations
+
+from typing import Dict, Optional
+
+import numpy as np
+
+
+class ImportError_(Exception):
+    """Raised when a checkpoint does not match the expected layout."""
+
+
+def _t2n(v) -> np.ndarray:
+    if hasattr(v, "detach"):
+        v = v.detach().cpu().numpy()
+    return np.asarray(v)
+
+
+def _lin(sd, name: str) -> Dict[str, np.ndarray]:
+    return {"kernel": _t2n(sd[f"{name}.weight"]).T,
+            "bias": _t2n(sd[f"{name}.bias"])}
+
+
+def _ln(sd, name: str) -> Dict[str, np.ndarray]:
+    return {"scale": _t2n(sd[f"{name}.weight"]),
+            "bias": _t2n(sd[f"{name}.bias"])}
+
+
+def user_encoder_params_from_reference(sd, prefix: str = "user_encoder."
+                                       ) -> Dict:
+    """SASRec tower: ``{prefix}transformer_encoder...`` state-dict keys ->
+    our UserEncoder tree (mapping of tests/test_reference_parity.py::
+    test_user_encoder_matches_reference)."""
+    te = f"{prefix}transformer_encoder."
+    if f"{te}position_embedding.weight" not in sd:
+        raise ImportError_(f"no user encoder under '{prefix}'")
+    out = {"position_embedding": _t2n(sd[f"{te}position_embedding.weight"]),
+           "layer_norm": _ln(sd, f"{te}layer_norm")}
+    i = 0
+    while f"{te}transformer_blocks.{i}.multi_head_attention.w_Q.weight" in sd:
+        blk = f"{te}transformer_blocks.{i}."
+        out[f"transformer_blocks_{i}"] = {
+            "multi_head_attention": {
+                # reference projections are bias-free (modules.py:44-47)
+                "w_Q": {"kernel": _t2n(
+                    sd[blk + "multi_head_attention.w_Q.weight"]).T},
+                "w_K": {"kernel": _t2n(
+                    sd[blk + "multi_head_attention.w_K.weight"]).T},
+                "w_V": {"kernel": _t2n(
+                    sd[blk + "multi_head_attention.w_V.weight"]).T},
+                "fc": {"kernel": _t2n(
+                    sd[blk + "multi_head_attention.fc.weight"]).T},
+                "layer_norm": _ln(sd, blk + "multi_head_attention.layer_norm"),
+            },
+            "feed_forward": {
+                "w_1": _lin(sd, blk + "feed_forward.w_1"),
+                "w_2": _lin(sd, blk + "feed_forward.w_2"),
+                "layer_norm": _ln(sd, blk + "feed_forward.layer_norm"),
+            },
+        }
+        i += 1
+    if i == 0:
+        raise ImportError_(f"no transformer blocks under '{te}'")
+    return {"transformer_encoder": out}
+
+
+def san_params_from_reference(sd, prefix: str = "mm_encoder.") -> Dict:
+    """SAN: adapter ModuleLists -> stacked (K, ...) weight groups, gate
+    ParameterLists -> (K,) arrays, head/pre-fc Linears -> Flax kernels
+    (mapping of test_reference_parity.py::test_san_forward_matches_...).
+    Absent branches (modality != intra_inter) are simply not emitted."""
+    out: Dict = {}
+    emitted = False
+    for lst in ("bert_adapter_list", "cv_adapter_list", "mm_adapter_list"):
+        wd, bd, wu, bu = [], [], [], []
+        i = 0
+        while f"{prefix}{lst}.{i}.fc_down.weight" in sd:
+            wd.append(_t2n(sd[f"{prefix}{lst}.{i}.fc_down.weight"]).T)
+            bd.append(_t2n(sd[f"{prefix}{lst}.{i}.fc_down.bias"]))
+            wu.append(_t2n(sd[f"{prefix}{lst}.{i}.fc_up.weight"]).T)
+            bu.append(_t2n(sd[f"{prefix}{lst}.{i}.fc_up.bias"]))
+            i += 1
+        if i:
+            out[f"{lst}_wd"], out[f"{lst}_bd"] = np.stack(wd), np.stack(bd)
+            out[f"{lst}_wu"], out[f"{lst}_bu"] = np.stack(wu), np.stack(bu)
+            emitted = True
+    for gates in ("side_gate_params_text", "side_gate_params_cv",
+                  "side_gate_params_mm"):
+        vals, i = [], 0
+        while f"{prefix}{gates}.{i}" in sd:
+            vals.append(_t2n(sd[f"{prefix}{gates}.{i}"]).reshape(-1)[0])
+            i += 1
+        if i:
+            out[gates] = np.array(vals)
+    for fc in ("fc_bert", "fc_cv", "fc_mm", "fc_mm_down",
+               "cv_pre_fc", "bert_pre_fc"):
+        if f"{prefix}{fc}.weight" in sd:
+            out[fc] = _lin(sd, f"{prefix}{fc}")
+            emitted = True
+    # asym dim-transform list (down_project_list, Asym model.py:280-285)
+    i = 0
+    while f"{prefix}down_project_list.{i}.weight" in sd:
+        out[f"down_project_list_{i}"] = _lin(
+            sd, f"{prefix}down_project_list.{i}")
+        i += 1
+    if not emitted:
+        raise ImportError_(f"no SAN modules under '{prefix}'")
+    return out
+
+
+def params_from_reference_checkpoint(ckpt, template: Optional[Dict] = None
+                                     ) -> Dict:
+    """Full checkpoint -> our param tree.
+
+    ``ckpt``: path to an ``epoch-N.pt`` (save_model layout or a bare
+    state_dict) or an already-loaded mapping.  ``template``: optional
+    target tree (e.g. ``trainer.params``) — imported leaves are verified
+    against it structure- and shape-wise and cast to its dtypes; leaves
+    the checkpoint does not cover (none, for supported families) keep
+    the template values.
+    """
+    if isinstance(ckpt, str):
+        import torch
+
+        ckpt = torch.load(ckpt, map_location="cpu", weights_only=True)
+    sd = ckpt.get("model_state_dict", ckpt)
+
+    out: Dict = {"user_encoder": user_encoder_params_from_reference(sd)}
+    if any(k.startswith("mm_encoder.") for k in sd):
+        out["san"] = san_params_from_reference(sd)
+    elif "id_embedding.weight" in sd:
+        out["id_embedding"] = {"embedding": _t2n(sd["id_embedding.weight"])}
+    else:
+        raise ImportError_(
+            "checkpoint has neither mm_encoder.* nor id_embedding.* — "
+            "uncached-family checkpoints (full towers) are not importable; "
+            "see utils/torch_import.py docstring")
+    if "com_dense.weight" in sd:
+        out["fuse"] = {"com_dense": _lin(sd, "com_dense")}
+
+    if template is None:
+        return out
+    return _merge_into(template, out)
+
+
+def _merge_into(template: Dict, imported: Dict, path: str = "") -> Dict:
+    """Template-shaped tree with imported leaves substituted; loud errors
+    on structure or shape mismatch (silent shape drift would train a
+    different model than the user checkpointed)."""
+    merged = {}
+    for k, tv in template.items():
+        p = f"{path}/{k}"
+        if k not in imported:
+            merged[k] = tv
+            continue
+        iv = imported[k]
+        if isinstance(tv, dict) != isinstance(iv, dict):
+            raise ImportError_(f"{p}: tree/leaf structure mismatch")
+        if isinstance(tv, dict):
+            merged[k] = _merge_into(tv, iv, p)
+        else:
+            if tuple(np.shape(iv)) != tuple(np.shape(tv)):
+                raise ImportError_(
+                    f"{p}: shape {np.shape(iv)} != expected {np.shape(tv)} "
+                    "(checkpoint geometry does not match the config)")
+            merged[k] = np.asarray(iv, dtype=np.asarray(tv).dtype)
+    extra = set(imported) - set(template)
+    if extra:
+        raise ImportError_(f"{path}: imported keys {sorted(extra)} not in "
+                           "the target tree")
+    return merged
