@@ -23,9 +23,12 @@ path/to/epoch-N.pt`` (the reference's own warm-start flag,
 here; orbax checkpoints take the existing path.
 
 Scope: the cached/cached_asym model families (``item_tower='modal'``,
-any modality) and the ID model.  Uncached checkpoints embed full
-monkey-patched HF towers and are out of scope — rebuild those caches and
-fine-tune, or import the towers via ``models/*.params_from_hf_torch``.
+any modality), the ID model, and uncached **FFT** (whose towers are
+unmodified HF modules — imported through the proven
+``models/{bert,vit}.params_from_hf_torch`` mappings plus the head
+layers).  LoRA/Houlsby/uncached-IISAN checkpoints embed monkey-patched
+tower modules and are rejected with guidance — rebuild caches or
+re-finetune (adapters are cheap to retrain by design).
 """
 
 from __future__ import annotations
@@ -137,6 +140,44 @@ def san_params_from_reference(sd, prefix: str = "mm_encoder.") -> Dict:
     return out
 
 
+_BERT_PREFIX = "mm_encoder.bert_encoder.text_encoders.title.bert_model."
+_IMAGE_NET_PREFIX = "mm_encoder.cv_encoder.image_net."   # ViTForImageClsf.
+
+
+def fft_params_from_reference(sd) -> Dict:
+    """Uncached FFT: unmodified HF towers (run.py:53-81) + the replaced
+    classifier / title fc heads -> our {text_tower, image_tower} trees
+    via the HF import mappings proven bit-exact in tests/test_towers.py."""
+    from ..models import bert as bert_mod
+    from ..models import vit as vit_mod
+
+    bert_sd = {k[len(_BERT_PREFIX):]: v for k, v in sd.items()
+               if k.startswith(_BERT_PREFIX)}
+    # keep the inner "vit." prefix — vit.params_from_hf_torch expects the
+    # ViTForImageClassification layout
+    vit_sd = {k[len(_IMAGE_NET_PREFIX):]: v for k, v in sd.items()
+              if k.startswith(_IMAGE_NET_PREFIX + "vit.")}
+    if not bert_sd or not vit_sd:
+        raise ImportError_("FFT checkpoint missing tower weights under "
+                           f"'{_BERT_PREFIX}' / '{_IMAGE_NET_PREFIX}vit.'")
+
+    def n_layers(tower_sd, prefix=""):
+        return 1 + max(int(k[len(prefix):].split(".")[2]) for k in tower_sd
+                       if k.startswith(prefix + "encoder.layer."))
+
+    return {
+        "text_tower": {
+            "bert": bert_mod.params_from_hf_torch(
+                bert_sd, num_layers=n_layers(bert_sd)),
+            "fc": _lin(sd,
+                       "mm_encoder.bert_encoder.text_encoders.title.fc")},
+        "image_tower": {
+            "vit": vit_mod.params_from_hf_torch(
+                vit_sd, num_layers=n_layers(vit_sd, "vit.")),
+            "classifier": _lin(sd, _IMAGE_NET_PREFIX + "classifier")},
+    }
+
+
 def params_from_reference_checkpoint(ckpt, template: Optional[Dict] = None
                                      ) -> Dict:
     """Full checkpoint -> our param tree.
@@ -155,15 +196,28 @@ def params_from_reference_checkpoint(ckpt, template: Optional[Dict] = None
     sd = ckpt.get("model_state_dict", ckpt)
 
     out: Dict = {"user_encoder": user_encoder_params_from_reference(sd)}
-    if any(k.startswith("mm_encoder.") for k in sd):
+    if any(k.startswith("mm_encoder.bert_encoder.") for k in sd):
+        # tower-holding family (uncached): FFT imports cleanly; patched
+        # towers do not
+        if any(".lora_" in k or ".adapter." in k or ".self_output." in k
+               for k in sd):
+            raise ImportError_(
+                "LoRA/Houlsby checkpoints embed monkey-patched tower "
+                "modules and are not importable — re-finetune (adapters "
+                "retrain cheaply) or import base towers from HF weights")
+        out.update(fft_params_from_reference(sd))
+    elif any(k.startswith("mm_encoder.mm_model.") for k in sd):
+        raise ImportError_(
+            "uncached-IISAN checkpoints (towers inside mm_model) are not "
+            "importable; train cached IISAN from rebuilt caches instead")
+    elif any(k.startswith("mm_encoder.") for k in sd):
         out["san"] = san_params_from_reference(sd)
     elif "id_embedding.weight" in sd:
         out["id_embedding"] = {"embedding": _t2n(sd["id_embedding.weight"])}
     else:
         raise ImportError_(
-            "checkpoint has neither mm_encoder.* nor id_embedding.* — "
-            "uncached-family checkpoints (full towers) are not importable; "
-            "see utils/torch_import.py docstring")
+            "checkpoint has neither mm_encoder.* nor id_embedding.* keys — "
+            "not a reference ModelMM state dict; see utils/torch_import.py")
     if "com_dense.weight" in sd:
         out["fuse"] = {"com_dense": _lin(sd, "com_dense")}
 

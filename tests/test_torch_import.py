@@ -231,3 +231,85 @@ def test_uncached_checkpoint_rejected(tmp_path):
     torch.save({"model_state_dict": sd}, path)
     with pytest.raises(ImportError_):
         params_from_reference_checkpoint(path)
+
+
+def test_fft_checkpoint_import(ref_modules, tmp_path):
+    """Uncached FFT checkpoint (unmodified HF towers + replaced heads,
+    run.py:53-81) imports into the FFT model tree; LoRA-style patched
+    keys are rejected with guidance."""
+    from transformers import (BertConfig, BertModel, ViTConfig,
+                              ViTForImageClassification)
+
+    from iisan_tpu.config import IISANConfig
+    from iisan_tpu.train.uncached import build_uncached_model
+
+    _, ref_encoders = ref_modules
+    torch.manual_seed(4)
+    emb = 16
+    bert = BertModel(BertConfig(
+        hidden_size=32, num_hidden_layers=2, num_attention_heads=2,
+        intermediate_size=128, vocab_size=30522,
+        max_position_embeddings=512))
+    vit = ViTForImageClassification(ViTConfig(
+        hidden_size=32, num_hidden_layers=2, num_attention_heads=2,
+        intermediate_size=128, image_size=16, patch_size=16))
+    vit.classifier = torch.nn.Linear(32, emb)      # run.py:58-61
+    title_fc = torch.nn.Linear(32, emb)
+    ue = ref_encoders.User_Encoder(item_num=30, max_seq_len=4, item_dim=emb,
+                                   num_attention_heads=2, dropout=0.0,
+                                   n_layers=2)
+    com_dense = torch.nn.Linear(emb * 2, emb)      # non-inter modality
+
+    sd = {f"user_encoder.{k}": v for k, v in ue.state_dict().items()}
+    sd.update({f"mm_encoder.bert_encoder.text_encoders.title.bert_model.{k}":
+               v for k, v in bert.state_dict().items()})
+    sd.update({f"mm_encoder.bert_encoder.text_encoders.title.fc.{k}": v
+               for k, v in title_fc.state_dict().items()})
+    sd.update({f"mm_encoder.cv_encoder.image_net.{k}": v
+               for k, v in vit.state_dict().items()})
+    sd.update({f"com_dense.{k}": v for k, v in com_dense.state_dict().items()})
+    path = str(tmp_path / "fft.pt")
+    torch.save({"model_state_dict": sd}, path)
+
+    cfg = IISANConfig(
+        adapter_type="None", adding_adapter_to="None", fine_tune_to="all",
+        embedding_dim=emb, word_embedding_dim=32, image_embedding_dim=32,
+        text_layers=2, image_layers=2, CV_resize=16, num_words_title=6,
+        compute_dtype="float32", max_seq_len=4)
+    model, _ = build_uncached_model(cfg)
+    ids = jnp.zeros((2, 5), jnp.int32)
+    imgs = jnp.zeros((10, 16, 16, 3), jnp.uint8)
+    toks = jnp.zeros((10, 12), jnp.int32)
+    lm = jnp.ones((2, 4), jnp.float32)
+    pop = jnp.ones((31,), jnp.float32)
+    template = model.init(jax.random.PRNGKey(0), ids, imgs, toks, lm,
+                          pop)["params"]
+
+    params = params_from_reference_checkpoint(path, template)
+    np.testing.assert_allclose(
+        params["text_tower"]["bert"]["layer_0"]["attention"]["query"]
+        ["kernel"],
+        bert.state_dict()["encoder.layer.0.attention.self.query.weight"]
+        .numpy().T)
+    np.testing.assert_allclose(
+        params["image_tower"]["classifier"]["bias"],
+        vit.classifier.bias.detach().numpy())
+    np.testing.assert_allclose(
+        params["image_tower"]["vit"]["cls_token"],
+        vit.state_dict()["vit.embeddings.cls_token"].numpy())
+    np.testing.assert_allclose(
+        params["text_tower"]["fc"]["kernel"],
+        title_fc.weight.detach().numpy().T)
+    np.testing.assert_allclose(
+        params["fuse"]["com_dense"]["kernel"],
+        com_dense.weight.detach().numpy().T)
+
+    # patched-tower checkpoints are rejected loudly
+    sd_lora = dict(sd)
+    sd_lora["mm_encoder.bert_encoder.text_encoders.title.bert_model."
+            "encoder.layer.0.attention.self.query.lora_A"] = \
+        torch.zeros(4, 32)
+    lora_path = str(tmp_path / "lora.pt")
+    torch.save({"model_state_dict": sd_lora}, lora_path)
+    with pytest.raises(ImportError_, match="LoRA/Houlsby"):
+        params_from_reference_checkpoint(lora_path)
