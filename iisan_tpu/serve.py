@@ -66,13 +66,20 @@ class Recommender:
         return cls(trainer.model, trainer.params, table,
                    trainer.cfg.max_seq_len)
 
-    def _prep(self, seqs) -> Tuple[np.ndarray, np.ndarray, np.ndarray]:
-        """Ragged python sequences -> left-padded tokens/log_mask/history."""
+    def _prep(self, seqs, hist_len: int = None
+              ) -> Tuple[np.ndarray, np.ndarray, np.ndarray]:
+        """Ragged python sequences -> left-padded tokens/log_mask/history.
+
+        ``hist_len`` pads the history axis to a caller-chosen width so
+        many calls share one jitted shape (the CLI passes the global max
+        over its whole input file; per-chunk maxima would recompile the
+        full-catalog graph once per distinct length)."""
         L = self.max_seq_len
         b = len(seqs)
         tokens = np.zeros((b, L), np.int32)
         log_mask = np.zeros((b, L), np.float32)
-        hist_len = max(max((len(s) for s in seqs), default=1), 1)
+        hist_len = max(max((len(s) for s in seqs), default=1), 1,
+                       hist_len or 1)
         history = np.zeros((b, hist_len), np.int32)
         for i, s in enumerate(seqs):
             s = list(s)[-L:]
@@ -139,14 +146,14 @@ class Recommender:
             transformer_block=int(z["n_layers"]), drop_rate=0.0)
         return cls(model, params, table, L)
 
-    def top_k(self, seqs, k: int = 10,
-              exclude_history: bool = True) -> Tuple[np.ndarray, np.ndarray]:
+    def top_k(self, seqs, k: int = 10, exclude_history: bool = True,
+              hist_len: int = None) -> Tuple[np.ndarray, np.ndarray]:
         """seqs: iterable of item-id sequences (most recent last).
 
         Returns (item_ids, scores), each (B, k); history items are excluded
         by default (the evaluation convention, metrics.py:238-240).
         """
-        tokens, log_mask, history = self._prep(seqs)
+        tokens, log_mask, history = self._prep(seqs, hist_len)
         if not exclude_history:
             history = np.zeros_like(history)
         ids, scores = _topk_step(
@@ -185,18 +192,29 @@ def main(argv=None) -> int:
             users.append(user)
             seqs.append([int(t) for t in id_str.split()])
     n_items = rec.fused_table.shape[0] - 1
-    for s in seqs:
+    for u, s in zip(users, seqs):
+        if not s:
+            raise SystemExit(f"user {u!r} has an empty item history — "
+                             "recommendations would be computed from pad "
+                             "embeddings only")
         bad = [i for i in s if not 0 < i <= n_items]
         if bad:
             raise SystemExit(f"item id(s) {bad[:5]} out of range "
                              f"1..{n_items} for this artifact")
+    # one jitted shape for the whole file: global history width + padded
+    # final chunk (per-chunk shapes would recompile the full-catalog
+    # graph once per distinct geometry)
+    hist_len = max(len(s) for s in seqs)
     with open(args.out, "w") as out:
         for start in range(0, len(users), args.batch):
             chunk = seqs[start:start + args.batch]
+            n = len(chunk)
+            chunk = chunk + [[1]] * (args.batch - n)
             ids, scores = rec.top_k(
-                chunk, k=args.k, exclude_history=not args.include_history)
-            for u, row_ids, row_sc in zip(users[start:start + args.batch],
-                                          ids, scores):
+                chunk, k=args.k, exclude_history=not args.include_history,
+                hist_len=hist_len)
+            for u, row_ids, row_sc in zip(users[start:start + n],
+                                          ids[:n], scores[:n]):
                 out.write(u + "\t" + " ".join(str(int(i)) for i in row_ids)
                           + "\t" + " ".join(f"{s:.5f}" for s in row_sc)
                           + "\n")

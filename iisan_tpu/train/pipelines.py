@@ -222,10 +222,24 @@ def run_from_config(cfg: IISANConfig, eval_only: bool = False):
             trainer.params = state["params"]
         log.info("warm-started params from %s", cfg.pretrained_recsys_model)
 
+    def maybe_export():
+        # process 0 only: in multi-host runs every process reaches here
+        # and concurrent np.savez to one path would corrupt the artifact
+        import jax
+
+        if cfg.export_recommender and jax.process_index() == 0:
+            from ..serve import Recommender
+
+            Recommender.from_trainer(trainer).save(cfg.export_recommender)
+            log.info("exported serving artifact to %s",
+                     cfg.export_recommender)
+
     if eval_only:
         hit, ndcg = trainer.evaluate_split("test")
         log.info("test_methods   Hit10\tnDCG10")
         log.info("test_results   %.5f\t%.5f", hit * 100, ndcg * 100)
+        # load-checkpoint-then-export is a supported workflow
+        maybe_export()
         return trainer, None
 
     result = trainer.train(start_epoch=start_epoch,
@@ -234,9 +248,5 @@ def run_from_config(cfg: IISANConfig, eval_only: bool = False):
     tpme.record_run(time.time() - t0, trainer, label=cfg.pipeline,
                     result=result)
     log.info("TPME inputs: %s", tpme.summary())
-    if cfg.export_recommender:
-        from ..serve import Recommender
-
-        Recommender.from_trainer(trainer).save(cfg.export_recommender)
-        log.info("exported serving artifact to %s", cfg.export_recommender)
+    maybe_export()
     return trainer, result

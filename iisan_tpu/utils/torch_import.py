@@ -196,7 +196,18 @@ def params_from_reference_checkpoint(ckpt, template: Optional[Dict] = None
     sd = ckpt.get("model_state_dict", ckpt)
 
     out: Dict = {"user_encoder": user_encoder_params_from_reference(sd)}
-    if any(k.startswith("mm_encoder.bert_encoder.") for k in sd):
+    has_towers = any(k.startswith("mm_encoder.bert_encoder.") for k in sd)
+    has_san = any(k.startswith(f"mm_encoder.{lst}.") for k in sd
+                  for lst in ("bert_adapter_list", "cv_adapter_list",
+                              "mm_adapter_list"))
+    if has_towers and has_san:
+        # uncached IISAN: towers registered directly on the adapted model
+        # (Code_Uncached/model/model.py:169-170) alongside the adapters
+        raise ImportError_(
+            "uncached-IISAN checkpoints (towers + side network in one "
+            "module) are not importable; train cached IISAN from rebuilt "
+            "caches instead — the cached model is the same network")
+    if has_towers:
         # tower-holding family (uncached): FFT imports cleanly; patched
         # towers do not
         if any(".lora_" in k or ".adapter." in k or ".self_output." in k
@@ -206,10 +217,6 @@ def params_from_reference_checkpoint(ckpt, template: Optional[Dict] = None
                 "modules and are not importable — re-finetune (adapters "
                 "retrain cheaply) or import base towers from HF weights")
         out.update(fft_params_from_reference(sd))
-    elif any(k.startswith("mm_encoder.mm_model.") for k in sd):
-        raise ImportError_(
-            "uncached-IISAN checkpoints (towers inside mm_model) are not "
-            "importable; train cached IISAN from rebuilt caches instead")
     elif any(k.startswith("mm_encoder.") for k in sd):
         out["san"] = san_params_from_reference(sd)
     elif "id_embedding.weight" in sd:

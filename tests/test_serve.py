@@ -170,3 +170,50 @@ def test_export_recommender_flag(tmp_path):
     want_ids, _ = Recommender.from_trainer(trainer).top_k([[1, 2, 3]], k=5)
     got_ids, _ = Recommender.load(artifact).top_k([[1, 2, 3]], k=5)
     np.testing.assert_array_equal(got_ids, want_ids)
+
+
+def test_serve_cli_rejects_empty_history(tmp_path):
+    import pytest
+
+    from iisan_tpu import serve
+
+    rec = Recommender.from_trainer(make_trainer())
+    artifact = str(tmp_path / "rec.npz")
+    rec.save(artifact)
+    inp = tmp_path / "seqs.tsv"
+    inp.write_text("U1\t1 2\nU2\t\n")
+    with pytest.raises(SystemExit, match="empty item history"):
+        serve.main([artifact, "--input", str(inp),
+                    "--out", str(tmp_path / "recs.tsv")])
+
+
+def test_export_recommender_in_eval_only(tmp_path):
+    """--export_recommender also works in eval-only mode (load a
+    checkpoint later, export an artifact without retraining)."""
+    import os
+
+    from iisan_tpu.config import IISANConfig
+    from iisan_tpu.train.pipelines import run_from_config
+
+    rng = np.random.default_rng(1)
+    n_items = 20
+    with open(tmp_path / "items.tsv", "w") as f:
+        for i in range(n_items):
+            f.write(f"I{i:04d}\tTitle {i}\n")
+    with open(tmp_path / "users.tsv", "w") as f:
+        for u in range(12):
+            seq = " ".join(f"I{int(x):04d}" for x in
+                           rng.integers(0, n_items, size=8))
+            f.write(f"U{u}\t{seq}\n")
+    artifact = str(tmp_path / "deploy_eval.npz")
+    cfg = IISANConfig(
+        root_data_dir=str(tmp_path), dataset="", behaviors="users.tsv",
+        news="items.tsv", images="items.tsv", pipeline="id", epoch=1,
+        batch_size=4, embedding_dim=16, max_seq_len=4, min_seq_len=3,
+        eval_batch_size=8, compute_dtype="float32",
+        log_dir=str(tmp_path / "logs"), ckpt_dir=str(tmp_path / "ckpts"),
+        save_checkpoints=False, export_recommender=artifact)
+    run_from_config(cfg, eval_only=True)
+    assert os.path.exists(artifact)
+    ids, _ = Recommender.load(artifact).top_k([[1, 2, 3]], k=5)
+    assert ids.shape == (1, 5)

@@ -313,3 +313,30 @@ def test_fft_checkpoint_import(ref_modules, tmp_path):
     torch.save({"model_state_dict": sd_lora}, lora_path)
     with pytest.raises(ImportError_, match="LoRA/Houlsby"):
         params_from_reference_checkpoint(lora_path)
+
+
+def test_uncached_iisan_checkpoint_rejected(ref_modules, tmp_path):
+    """Uncached-IISAN layout (towers registered directly on the adapted
+    model NEXT TO the adapter lists, Code_Uncached/model/model.py:169-170)
+    must be rejected — not silently routed to the FFT path, which would
+    import towers and leave the trained side network random."""
+    from transformers import BertConfig, BertModel
+
+    _, ref_encoders = ref_modules
+    torch.manual_seed(5)
+    ue = ref_encoders.User_Encoder(item_num=30, max_seq_len=4, item_dim=16,
+                                   num_attention_heads=2, dropout=0.0,
+                                   n_layers=2)
+    bert = BertModel(BertConfig(
+        hidden_size=32, num_hidden_layers=1, num_attention_heads=2,
+        intermediate_size=128, vocab_size=64, max_position_embeddings=32))
+    adapter = torch.nn.Linear(32, 8)
+    sd = {f"user_encoder.{k}": v for k, v in ue.state_dict().items()}
+    sd.update({f"mm_encoder.bert_encoder.text_encoders.title.bert_model.{k}":
+               v for k, v in bert.state_dict().items()})
+    sd["mm_encoder.bert_adapter_list.0.fc_down.weight"] = adapter.weight
+    sd["mm_encoder.bert_adapter_list.0.fc_down.bias"] = adapter.bias
+    path = str(tmp_path / "unc_iisan.pt")
+    torch.save({"model_state_dict": sd}, path)
+    with pytest.raises(ImportError_, match="uncached-IISAN"):
+        params_from_reference_checkpoint(path)
