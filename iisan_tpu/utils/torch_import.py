@@ -233,6 +233,111 @@ def params_from_reference_checkpoint(ckpt, template: Optional[Dict] = None
     return _merge_into(template, out)
 
 
+def reference_state_dict_from_params(params: Dict, modality: str =
+                                     "intra_inter") -> Dict:
+    """Inverse of the cached-family import: our {user_encoder, san, fuse}
+    param tree -> a reference ModelMM state dict (torch tensors), so a
+    model trained here can be evaluated or resumed with the reference's
+    own tooling (``model.load_state_dict(ckpt['model_state_dict'])``,
+    Code_Cached/run.py:146).  Covers the families the importer covers:
+    cached/cached_asym SAN models and the ID model.
+
+    Round-trip invariant (tested): ``params_from_reference_checkpoint(
+    {'model_state_dict': reference_state_dict_from_params(p)}, p) == p``.
+    """
+    import torch
+
+    sd: Dict = {}
+
+    def _np32(x):
+        x = np.asarray(x)
+        # ml_dtypes bfloat16 reaches numpy as a void dtype torch rejects
+        return x if x.dtype.kind in "iuf" else x.astype(np.float32)
+
+    def tensor(x):
+        return torch.tensor(_np32(x))
+
+    def put_lin(name, leaf):
+        sd[f"{name}.weight"] = tensor(np.asarray(_np32(leaf["kernel"])).T)
+        sd[f"{name}.bias"] = tensor(leaf["bias"])
+
+    te = params["user_encoder"]["transformer_encoder"]
+    sd["user_encoder.transformer_encoder.position_embedding.weight"] = \
+        tensor(te["position_embedding"])
+    sd["user_encoder.transformer_encoder.layer_norm.weight"] = \
+        tensor(te["layer_norm"]["scale"])
+    sd["user_encoder.transformer_encoder.layer_norm.bias"] = \
+        tensor(te["layer_norm"]["bias"])
+    i = 0
+    while f"transformer_blocks_{i}" in te:
+        blk = te[f"transformer_blocks_{i}"]
+        base = f"user_encoder.transformer_encoder.transformer_blocks.{i}"
+        mha, ff = blk["multi_head_attention"], blk["feed_forward"]
+        for proj in ("w_Q", "w_K", "w_V", "fc"):
+            sd[f"{base}.multi_head_attention.{proj}.weight"] = tensor(
+                np.asarray(_np32(mha[proj]["kernel"])).T)
+        sd[f"{base}.multi_head_attention.layer_norm.weight"] = tensor(
+            mha["layer_norm"]["scale"])
+        sd[f"{base}.multi_head_attention.layer_norm.bias"] = tensor(
+            mha["layer_norm"]["bias"])
+        put_lin(f"{base}.feed_forward.w_1", ff["w_1"])
+        put_lin(f"{base}.feed_forward.w_2", ff["w_2"])
+        sd[f"{base}.feed_forward.layer_norm.weight"] = tensor(
+            ff["layer_norm"]["scale"])
+        sd[f"{base}.feed_forward.layer_norm.bias"] = tensor(
+            ff["layer_norm"]["bias"])
+        i += 1
+
+    if "san" in params:
+        san = params["san"]
+        for lst in ("bert_adapter_list", "cv_adapter_list",
+                    "mm_adapter_list"):
+            if f"{lst}_wd" not in san:
+                continue
+            for j in range(np.asarray(san[f"{lst}_wd"]).shape[0]):
+                for half, w, b in (("fc_down", "wd", "bd"),
+                                   ("fc_up", "wu", "bu")):
+                    sd[f"mm_encoder.{lst}.{j}.{half}.weight"] = tensor(
+                        np.asarray(_np32(san[f"{lst}_{w}"][j])).T)
+                    sd[f"mm_encoder.{lst}.{j}.{half}.bias"] = tensor(
+                        san[f"{lst}_{b}"][j])
+        for gates in ("side_gate_params_text", "side_gate_params_cv",
+                      "side_gate_params_mm"):
+            if gates in san:
+                for j, v in enumerate(np.asarray(san[gates])):
+                    sd[f"mm_encoder.{gates}.{j}"] = tensor(
+                        np.asarray(_np32(v)).reshape(1))
+        for fc in ("fc_bert", "fc_cv", "fc_mm", "fc_mm_down",
+                   "cv_pre_fc", "bert_pre_fc"):
+            if fc in san:
+                put_lin(f"mm_encoder.{fc}", san[fc])
+        j = 0
+        while f"down_project_list_{j}" in san:
+            put_lin(f"mm_encoder.down_project_list.{j}",
+                    san[f"down_project_list_{j}"])
+            j += 1
+    elif "id_embedding" in params:
+        sd["id_embedding.weight"] = tensor(
+            params["id_embedding"]["embedding"])
+
+    if "fuse" in params and "com_dense" in params["fuse"]:
+        put_lin("com_dense", params["fuse"]["com_dense"])
+    return sd
+
+
+def save_reference_checkpoint(params: Dict, path: str) -> None:
+    """Write our params as a complete reference ``epoch-N.pt`` (the
+    save_model layout incl. the rng fields ``run.py:148-149`` reads), so
+    the file drops into the reference's ``--pretrained_recsys_model`` /
+    ``--load_ckpt_name`` flow unmodified."""
+    import torch
+
+    torch.save({"model_state_dict": reference_state_dict_from_params(params),
+                "optimizer": {},
+                "rng_state": torch.get_rng_state(),
+                "cuda_rng_state": torch.zeros(16, dtype=torch.uint8)}, path)
+
+
 def _merge_into(template: Dict, imported: Dict, path: str = "") -> Dict:
     """Template-shaped tree with imported leaves substituted; loud errors
     on structure or shape mismatch (silent shape drift would train a

@@ -340,3 +340,39 @@ def test_uncached_iisan_checkpoint_rejected(ref_modules, tmp_path):
     torch.save({"model_state_dict": sd}, path)
     with pytest.raises(ImportError_, match="uncached-IISAN"):
         params_from_reference_checkpoint(path)
+
+
+def test_reference_export_roundtrip(ref_modules, tmp_path):
+    """reference_state_dict_from_params is the exact inverse of the
+    import, AND the reference's own modules load it with strict=True —
+    a model trained here runs under the reference's tooling."""
+    from iisan_tpu.utils.torch_import import reference_state_dict_from_params
+
+    ref_model, ref_encoders = ref_modules
+    args = ref_args()
+    model, template, cfg = our_model(args)
+
+    sd = reference_state_dict_from_params(template)
+    back = params_from_reference_checkpoint({"model_state_dict": sd},
+                                            template)
+
+    flat_a = jax.tree_util.tree_leaves_with_path(template)
+    flat_b = dict(jax.tree_util.tree_leaves_with_path(back))
+    assert len(flat_a) == len(flat_b)
+    for kp, leaf in flat_a:
+        np.testing.assert_allclose(np.asarray(leaf), flat_b[kp], atol=1e-7,
+                                   err_msg=str(kp))
+
+    # strict load into the reference's own modules: proves the exported
+    # key set is exactly what the reference expects
+    san_torch, ue_torch, com_torch = build_reference_checkpoint(
+        ref_model, ref_encoders, args, str(tmp_path / "scratch.pt"))
+    san_sd = {k[len("mm_encoder."):]: v for k, v in sd.items()
+              if k.startswith("mm_encoder.")}
+    san_torch.load_state_dict(san_sd, strict=True)
+    ue_sd = {k[len("user_encoder."):]: v for k, v in sd.items()
+             if k.startswith("user_encoder.")}
+    ue_torch.load_state_dict(ue_sd, strict=True)
+    com_sd = {k[len("com_dense."):]: v for k, v in sd.items()
+              if k.startswith("com_dense.")}
+    com_torch.load_state_dict(com_sd, strict=True)
