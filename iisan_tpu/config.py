@@ -89,6 +89,8 @@ class IISANConfig:
     adapter_cv_lr: float = 4e-4
     adapter_bert_lr: float = 1e-4
     bert_adapter_down_size: int = 64
+    # declared-but-never-consumed in the reference too (Code_Cached/
+    # parameters.py:69 has no reader in run.py) - accepted for CLI parity
     adapter_sasrec_lr: float = 1e-4
     cv_adapter_down_size: int = 64
     adapter_dropout_rate: float = 0.1
@@ -127,10 +129,8 @@ class IISANConfig:
     # Code_Cached -> "cached", Code_Cached_Asym -> "cached_asym".
     pipeline: str = "cached"
     compute_dtype: str = "bfloat16"  # activations dtype under jit (AMP analog)
-    param_dtype: str = "float32"
     eval_batch_size: int = 256
     mesh_shape: str = ""  # e.g. "data:8"; empty = all local devices on 1 axis
-    cache_format: str = "memmap"  # sharded array cache vs reference .pt files
     # Fused Pallas SAN-cascade kernel (ops/fused_san.py).  Off by default:
     # measured on v5e (fwd+bwd, bf16, scripts/bench_pallas.py, r2):
     #   base    K7 D768  R64  N704: XLA 1.10 ms vs pallas 1.19 ms (0.92x)
