@@ -231,7 +231,11 @@ def build_lmdb(items_tsv: str, image_dir: str, out_path: str,
         key = name.encode("ascii")
         txn.put(key, pickle.dumps(LMDBImage(img, name)))
         keys.append(key)
-        if (i + 1) % commit_every == 0:
+        # Intermediate commits match the reference's batching with real
+        # lmdb (cheap incremental writes there); the pure-Python backend
+        # rewrites the whole file per commit, so batched commits would be
+        # O(N^2) disk traffic at catalog scale - commit once at the end.
+        if (i + 1) % commit_every == 0 and not LMDB_IS_PUREPY:
             txn.commit()
             txn = env.begin(write=True)
     txn.put(b"__keys__", pickle.dumps(keys))

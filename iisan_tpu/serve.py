@@ -191,6 +191,10 @@ def main(argv=None) -> int:
             user, _, id_str = line.partition("\t")
             users.append(user)
             seqs.append([int(t) for t in id_str.split()])
+    if not users:
+        open(args.out, "w").close()
+        print(f"no input rows in {args.input}; wrote empty {args.out}")
+        return 0
     n_items = rec.fused_table.shape[0] - 1
     for u, s in zip(users, seqs):
         if not s:

@@ -204,14 +204,18 @@ def run_from_config(cfg: IISANConfig, eval_only: bool = False):
         # imported directly so migrating users keep their trained models.
         if cfg.pretrained_recsys_model.endswith(".pt"):
             import jax
-            import jax.numpy as jnp
 
             from ..utils.torch_import import params_from_reference_checkpoint
 
+            imported = params_from_reference_checkpoint(
+                cfg.pretrained_recsys_model, template=trainer.params)
+            # re-place each leaf with the sharding the trainer
+            # established (plain jnp.asarray would leave process-local
+            # arrays that break sharded multi-process training)
             trainer.params = jax.tree_util.tree_map(
-                jnp.asarray,
-                params_from_reference_checkpoint(
-                    cfg.pretrained_recsys_model, template=trainer.params))
+                lambda new, old: jax.device_put(
+                    new, getattr(old, "sharding", None)),
+                imported, trainer.params)
         else:
             from ..utils.checkpoint import restore_checkpoint
 
@@ -223,14 +227,19 @@ def run_from_config(cfg: IISANConfig, eval_only: bool = False):
         log.info("warm-started params from %s", cfg.pretrained_recsys_model)
 
     def maybe_export():
-        # process 0 only: in multi-host runs every process reaches here
-        # and concurrent np.savez to one path would corrupt the artifact
         import jax
 
-        if cfg.export_recommender and jax.process_index() == 0:
-            from ..serve import Recommender
+        if not cfg.export_recommender:
+            return
+        from ..serve import Recommender
 
-            Recommender.from_trainer(trainer).save(cfg.export_recommender)
+        # the item-table computation is an SPMD program over the (possibly
+        # globally sharded) caches: EVERY process must join it; only the
+        # host-side np.savez is gated to process 0 (concurrent writes to
+        # one path would corrupt the artifact)
+        rec = Recommender.from_trainer(trainer)
+        if jax.process_index() == 0:
+            rec.save(cfg.export_recommender)
             log.info("exported serving artifact to %s",
                      cfg.export_recommender)
 

@@ -225,7 +225,11 @@ def params_from_reference_checkpoint(ckpt, template: Optional[Dict] = None
         raise ImportError_(
             "checkpoint has neither mm_encoder.* nor id_embedding.* keys — "
             "not a reference ModelMM state dict; see utils/torch_import.py")
-    if "com_dense.weight" in sd:
+    # ModelMM registers com_dense unconditionally, but in ID mode it is
+    # never reachable (the reference's id forward is a dead path,
+    # run.py:377 NameError) — our IDRecModel has no fuse layer, so drop
+    # the registered-but-unused weights instead of failing the merge.
+    if "com_dense.weight" in sd and "id_embedding" not in out:
         out["fuse"] = {"com_dense": _lin(sd, "com_dense")}
 
     if template is None:
@@ -322,6 +326,14 @@ def reference_state_dict_from_params(params: Dict, modality: str =
 
     if "fuse" in params and "com_dense" in params["fuse"]:
         put_lin("com_dense", params["fuse"]["com_dense"])
+    elif "id_embedding" in params:
+        # ModelMM registers com_dense even in ID mode (never reachable
+        # there); synthesize a fresh torch-default layer so the export
+        # passes the reference's strict load_state_dict (run.py:146)
+        emb = int(np.asarray(params["id_embedding"]["embedding"]).shape[1])
+        lin = torch.nn.Linear(emb * 2, emb)
+        sd["com_dense.weight"] = lin.weight.detach()
+        sd["com_dense.bias"] = lin.bias.detach()
     return sd
 
 

@@ -217,3 +217,17 @@ def test_export_recommender_in_eval_only(tmp_path):
     assert os.path.exists(artifact)
     ids, _ = Recommender.load(artifact).top_k([[1, 2, 3]], k=5)
     assert ids.shape == (1, 5)
+
+
+def test_serve_cli_empty_input(tmp_path):
+    from iisan_tpu import serve
+
+    rec = Recommender.from_trainer(make_trainer())
+    artifact = str(tmp_path / "rec.npz")
+    rec.save(artifact)
+    inp = tmp_path / "empty.tsv"
+    inp.write_text("\n\n")
+    out = tmp_path / "recs.tsv"
+    assert serve.main([artifact, "--input", str(inp),
+                       "--out", str(out)]) == 0
+    assert out.read_text() == ""

@@ -376,3 +376,38 @@ def test_reference_export_roundtrip(ref_modules, tmp_path):
     com_sd = {k[len("com_dense."):]: v for k, v in sd.items()
               if k.startswith("com_dense.")}
     com_torch.load_state_dict(com_sd, strict=True)
+
+
+def test_id_checkpoint_with_registered_com_dense(ref_modules, tmp_path):
+    """ModelMM registers com_dense even in ID mode (where it is
+    unreachable, run.py:377 dead path); the importer must drop it rather
+    than fail the merge, and the exporter must synthesize it so the
+    reference's strict load_state_dict succeeds."""
+    from iisan_tpu.utils.torch_import import reference_state_dict_from_params
+
+    _, ref_encoders = ref_modules
+    torch.manual_seed(6)
+    ue = ref_encoders.User_Encoder(item_num=50, max_seq_len=4, item_dim=16,
+                                   num_attention_heads=2, dropout=0.0,
+                                   n_layers=2)
+    id_emb = torch.nn.Embedding(51, 16, padding_idx=0)
+    com = torch.nn.Linear(32, 16)
+    sd = {f"user_encoder.{k}": v for k, v in ue.state_dict().items()}
+    sd["id_embedding.weight"] = id_emb.weight.detach()
+    sd.update({f"com_dense.{k}": v for k, v in com.state_dict().items()})
+    path = str(tmp_path / "id_cd.pt")
+    torch.save({"model_state_dict": sd}, path)
+
+    out = params_from_reference_checkpoint(path)
+    assert "fuse" not in out                    # dropped, not crashed
+    np.testing.assert_allclose(out["id_embedding"]["embedding"],
+                               id_emb.weight.detach().numpy())
+
+    # and use it as its own merge template (id trainer tree shape)
+    merged = params_from_reference_checkpoint(path, out)
+    assert "id_embedding" in merged
+
+    # export synthesizes com_dense so strict reference load works
+    back_sd = reference_state_dict_from_params(out)
+    assert back_sd["com_dense.weight"].shape == (16, 32)
+    assert "id_embedding.weight" in back_sd
