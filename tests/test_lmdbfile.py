@@ -432,3 +432,46 @@ def test_every_node_offset_is_even(tmp_path):
         for i in range((lower - 16) // 2):
             ptr = struct.unpack_from("<H", raw, off + 16 + 2 * i)[0]
             assert ptr % 2 == 0 and upper <= ptr < DEFAULT_PSIZE
+
+
+def test_non_default_page_size(tmp_path):
+    """Real liblmdb files inherit the creating system's page size; the
+    reader must take psize from the meta, not assume 4096."""
+    from iisan_tpu.data.lmdbfile import write_db
+
+    items = {f"k{i:03d}".encode(): os.urandom(i * 37 % 5000)
+             for i in range(1, 120)}
+    path = str(tmp_path / "big_pages.mdb")
+    write_db(path, items, psize=16384)
+    env = lmdbfile.open(path, subdir=False, readonly=True)
+    assert env.stat()["psize"] == 16384
+    assert dict(env.begin().cursor().iternext()) == items
+    env.close()
+
+
+def test_meta_txnid_election(tmp_path):
+    """Readers must pick the meta page with the larger txnid — liblmdb
+    alternates meta slots per commit, so the stale slot describes an
+    older tree."""
+    path = _write(tmp_path, {b"old": b"1"})
+    env = lmdbfile.open(path, subdir=False)
+    with env.begin(write=True) as txn:
+        txn.put(b"new", b"2")
+    env.close()
+    raw = bytearray(open(path, "rb").read())
+    # regress meta page 0 to a STALE txnid (0): reader must elect meta 1
+    struct.pack_into("<Q", raw, 16 + 24 + 96 + 8, 0)
+    stale = tmp_path / "stale0.mdb"
+    stale.write_bytes(bytes(raw))
+    env = lmdbfile.open(str(stale), subdir=False, readonly=True)
+    assert env.begin().get(b"new") == b"2"
+    assert env._tree.meta.txnid == 2
+    env.close()
+    # corrupt meta 1's magic entirely: reader must fall back to meta 0
+    raw2 = bytearray(open(path, "rb").read())
+    struct.pack_into("<I", raw2, DEFAULT_PSIZE + 16, 0xDEAD)
+    torn = tmp_path / "torn1.mdb"
+    torn.write_bytes(bytes(raw2))
+    env = lmdbfile.open(str(torn), subdir=False, readonly=True)
+    assert env.begin().get(b"new") == b"2"   # meta 0 holds the same tree
+    env.close()
