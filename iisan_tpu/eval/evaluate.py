@@ -101,7 +101,42 @@ def _eval_step_impl(model, params, fused_table, tokens, log_mask, target,
     return hit_ndcg_at_k(scores, target - 1, k=10)           # (B, 2)
 
 
-eval_step = jax.jit(_eval_step_impl, static_argnums=0)
+def eval_sharding(mesh, batch_size: int):
+    """Per-step-batch sharding over the mesh's data axis (or None): the
+    single source of truth shared by evaluate() and the trainers'
+    pre-stacked eval batches."""
+    if mesh is None or "data" not in mesh.axis_names:
+        return None
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    n_data = mesh.shape["data"]
+    spec = P(None, "data") if batch_size % n_data == 0 else P()
+    return NamedSharding(mesh, spec)
+
+
+def stack_eval_batches(arrays, batch_size: int, sharding=None, place=None):
+    """Wrap-pad to whole batches (repeat-last-row, the
+    SequentialDistributedSampler analog, dataset.py:294-321) and stack to
+    (S, B, ...).  Returns (prepped_arrays, n_real_rows).  ``place``
+    overrides device placement (trainers pass their own _put)."""
+    n = arrays[0].shape[0]
+    n_pad = ((n + batch_size - 1) // batch_size) * batch_size
+    pad = n_pad - n
+
+    def prep(x):
+        x = np.asarray(x)
+        if pad:
+            x = np.concatenate([x, np.repeat(x[-1:], pad, axis=0)], axis=0)
+        x = x.reshape(n_pad // batch_size, batch_size, *x.shape[1:])
+        if place is not None:
+            return place(x, sharding)
+        if sharding is not None:
+            from ..parallel.distributed import make_global
+
+            return make_global(x, sharding)
+        return jnp.asarray(x)
+
+    return tuple(prep(x) for x in arrays), n
 
 
 def _eval_scan_impl(model, params, fused_table, tokens, log_mask, target,
@@ -136,31 +171,12 @@ def evaluate(model, params, fused_table, tokens, log_mask, target, history,
     dist.all_gather + crop (eval_concat, metrics.py:43-56); wrap-padded
     rows are cropped before the mean exactly like eval_concat.
     """
-    n = tokens.shape[0]
-    n_pad = ((n + batch_size - 1) // batch_size) * batch_size
-    pad = n_pad - n
+    sharding = eval_sharding(mesh, batch_size)
+    (tokens, log_mask, target, history), n = stack_eval_batches(
+        (tokens, log_mask, target, history), batch_size, sharding)
 
-    sharding = None
-    if mesh is not None and "data" in mesh.axis_names:
-        from jax.sharding import NamedSharding, PartitionSpec as P
-
-        n_data = mesh.shape["data"]
-        spec = P(None, "data") if batch_size % n_data == 0 else P()
-        sharding = NamedSharding(mesh, spec)
-
-    def prep(x):
-        x = np.asarray(x)
-        if pad:
-            x = np.concatenate([x, np.repeat(x[-1:], pad, axis=0)], axis=0)
-        x = x.reshape(n_pad // batch_size, batch_size, *x.shape[1:])
-        if sharding is not None:
-            from ..parallel.distributed import make_global
-
-            return make_global(x, sharding)
-        return jnp.asarray(x)
-
-    out = _eval_scan(model, params, fused_table, prep(tokens),
-                     prep(log_mask), prep(target), prep(history))
-    all_m = out.reshape(n_pad, 2)[:n]
+    out = _eval_scan(model, params, fused_table, tokens, log_mask, target,
+                     history)
+    all_m = out.reshape(-1, 2)[:n]
     hit, ndcg = jnp.mean(all_m, axis=0)
     return float(hit), float(ndcg)

@@ -61,7 +61,7 @@ class BertSelfAttention(nn.Module):
                 and not self.is_initializing()):
             from ..ops.fused_attention import fused_mha, supported
 
-            if supported(b, t, d, self.num_heads):
+            if supported(b, t, d, self.num_heads, x.dtype.itemsize):
                 # attn_bias is (B, 1, 1, T) additive (0 / -1e9).
                 key_bias = attn_bias.reshape(b, t)
                 rng = None

@@ -60,7 +60,7 @@ class ViTSelfAttention(nn.Module):
                 and (self.dropout == 0.0 or deterministic)):
             from ..ops.fused_attention import fused_mha, supported
 
-            if supported(b, t, d, self.num_heads):
+            if supported(b, t, d, self.num_heads, x.dtype.itemsize):
                 return fused_mha(q, k, v, self.num_heads)
 
         def split(y):

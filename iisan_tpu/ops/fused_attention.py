@@ -38,17 +38,19 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-def _pick_batch_block(B, T, D):
+def _pick_batch_block(B, T, D, itemsize=2):
     """Largest divisor of B whose double-buffered Q/K/V/O blocks plus one
     head's fp32 scores stay well inside the 16 MB VMEM budget.
 
     Returns 0 when even a block of 1 image overflows the budget (very
-    large T); callers must then take the XLA module path (ADVICE r1)."""
+    large T); callers must then take the XLA module path (ADVICE r1).
+    ``itemsize`` is the q/k/v element size — fp32 runs halve the feasible
+    block, so the model must not assume bf16."""
     best = 0
     for cand in range(1, min(B, 32) + 1):
         if B % cand:
             continue
-        qkv = 4 * cand * T * D * 2 * 2   # q,k,v,o bf16, double-buffered
+        qkv = 4 * cand * T * D * itemsize * 2   # q,k,v,o double-buffered
         scores = 2 * cand * T * max(T, 128) * 4
         if qkv + scores <= 8 * 2 ** 20:
             best = cand
@@ -116,7 +118,7 @@ def _reference_mha(q, k, v, bias, n_heads, dt):
 def _make_fused_mha(H: int, B: int, T: int, D: int, dt_name: str,
                     with_bias: bool, rate: float, train: bool):
     dt = jnp.dtype(dt_name)
-    B_blk = _pick_batch_block(B, T, D)
+    B_blk = _pick_batch_block(B, T, D, dt.itemsize)
     grid = (B // B_blk,)
     blk = pl.BlockSpec((B_blk, T, D), lambda b: (b, 0, 0),
                        memory_space=pltpu.VMEM)
@@ -152,9 +154,12 @@ def _make_fused_mha(H: int, B: int, T: int, D: int, dt_name: str,
                 "fused_mha backward with active attention dropout; use the "
                 "module path for methods that train the towers")
         q, k, v, bias, seed = res
+        # the residual bias is the kernel-shaped (B, 1, T); _reference_mha
+        # expects the caller-shaped (B, T)
         _, vjp = jax.vjp(
             lambda q_, k_, v_: _reference_mha(
-                q_, k_, v_, bias if with_bias else None, H, dt), q, k, v)
+                q_, k_, v_, bias[:, 0, :] if with_bias else None, H, dt),
+            q, k, v)
         gq, gk, gv = vjp(g)
         import numpy as np
 
@@ -165,9 +170,9 @@ def _make_fused_mha(H: int, B: int, T: int, D: int, dt_name: str,
     return fused
 
 
-def supported(B: int, T: int, D: int, H: int) -> bool:
+def supported(B: int, T: int, D: int, H: int, itemsize: int = 2) -> bool:
     return (D % H == 0 and (D // H) % 8 == 0 and B >= 1 and T >= 2
-            and _pick_batch_block(B, T, D) > 0)
+            and _pick_batch_block(B, T, D, itemsize) > 0)
 
 
 def fused_mha(q: jnp.ndarray, k: jnp.ndarray, v: jnp.ndarray,
@@ -184,7 +189,7 @@ def fused_mha(q: jnp.ndarray, k: jnp.ndarray, v: jnp.ndarray,
     dt = q.dtype
     with_bias = key_bias is not None
     train = dropout_rng is not None and drop_rate > 0.0
-    if not supported(B, T, D, n_heads):
+    if not supported(B, T, D, n_heads, jnp.dtype(dt).itemsize):
         # Geometry the kernel cannot tile (e.g. T so large the block-1
         # footprint overflows VMEM): identical-math XLA path.
         if train:

@@ -80,12 +80,12 @@ def _round_up(x, m):
 
 
 def fits_vmem(k: int, d: int, r: int, tile: int = 128,
-              budget_bytes: int = 12 * 2**20) -> bool:
+              budget_bytes: int = 12 * 2**20, bpe: int = 2) -> bool:
     """Conservative VMEM estimate: can the all-weights-resident kernel fit
     the ~16 MB/core budget?  Geometries that don't (Versa's 8192-dim
     caches) dispatch to the step-streamed kernel instead, which only needs
-    one step's weights at a time."""
-    bpe = 2  # bf16
+    one step's weights at a time.  ``bpe`` is the element size — fp32
+    inputs double every term, so the bf16 default must not be assumed."""
     weights = k * (d * r + r + r * d + d) * bpe
     tiles = 2 * (tile * k * d + 3 * tile * d) * bpe  # taps + c0/out, buffered
     return weights + tiles < budget_bytes
@@ -246,7 +246,7 @@ def _dispatch_fwd(gates, taps, wd, bd, wu, bu, c0, activation, interpret,
                   gated):
     n, k, d = taps.shape
     r = wd.shape[-1]
-    if fits_vmem(k, d, r):
+    if fits_vmem(k, d, r, bpe=taps.dtype.itemsize):
         impl = _fused_cascade_fwd_impl
     elif taps.dtype == jnp.float32 or streamed_tile_rows(d, r) == 0:
         # The streamed wide-D kernel is bf16-only: its dots cannot lower at

@@ -203,9 +203,11 @@ class CachedTrainer(TrainLoopMixin):
 
     # ------------------------------------------------------------------
     def _prep_eval_batches(self, split: str):
-        """Stacked (S, B, ...) eval arrays, wrap-padded like eval/evaluate.py
-        (repeat-last-row padding, the SequentialDistributedSampler analog),
-        device-resident once."""
+        """Stacked (S, B, ...) eval arrays, device-resident once — the
+        padding/reshape/sharding logic IS eval/evaluate.py's (shared
+        helper), so the fused dispatch cannot drift from evaluate()."""
+        from ..eval.evaluate import eval_sharding, stack_eval_batches
+
         c = self.corpus
         if split == "valid":
             arrays = (c.valid_tokens, c.valid_log_mask, c.valid_target,
@@ -214,22 +216,10 @@ class CachedTrainer(TrainLoopMixin):
             arrays = (c.test_tokens, c.test_log_mask, c.test_target,
                       c.test_history)
         bs = self.cfg.eval_batch_size
-        n = arrays[0].shape[0]
-        n_pad = ((n + bs - 1) // bs) * bs
-        pad = n_pad - n
-
-        def prep(x):
-            x = np.asarray(x)
-            if pad:
-                x = np.concatenate([x, np.repeat(x[-1:], pad, axis=0)], 0)
-            x = x.reshape(n_pad // bs, bs, *x.shape[1:])
-            from jax.sharding import NamedSharding, PartitionSpec as P
-
-            n_data = self.mesh.shape.get("data", 1)
-            spec = P(None, "data") if bs % n_data == 0 else P()
-            return self._put(x, NamedSharding(self.mesh, spec))
-
-        return tuple(prep(x) for x in arrays) + (n,)
+        prepped, n = stack_eval_batches(arrays, bs,
+                                        eval_sharding(self.mesh, bs),
+                                        place=self._put)
+        return prepped + (n,)
 
     def _build_epoch_eval_fn(self):
         """ONE dispatch per epoch: train scan + item tables + eval scan.
@@ -260,7 +250,8 @@ class CachedTrainer(TrainLoopMixin):
             out = _eval_scan_impl(model, params, fused_table, *eval_batches)
             metrics = out.reshape(-1, 2)[:n_users]
             hit, ndcg = jnp.mean(metrics, axis=0)
-            return params, opt_state, rng, mean_loss, losses, hit, ndcg
+            return (params, opt_state, rng, mean_loss, losses, hit, ndcg,
+                    fused_table)
 
         return epoch_eval_fn
 
@@ -277,9 +268,14 @@ class CachedTrainer(TrainLoopMixin):
                   self.train_log_mask, self.pop_prob)
         *ev, n_users = self._valid_eval_batches
         (self.params, self.opt_state, self.rng, mean_loss, losses, hit,
-         ndcg) = self._epoch_eval_fn(self.params, self.opt_state, self.rng,
-                                     perm, tables, n_users, tuple(ev))
+         ndcg, fused_table) = self._epoch_eval_fn(
+            self.params, self.opt_state, self.rng, perm, tables, n_users,
+            tuple(ev))
         self._last_step_losses = losses
+        # the dispatch already built the fused item table for THESE params;
+        # a test eval on a new-best epoch reuses it instead of a second
+        # full-catalog SAN pass (identity-keyed: any param update evicts)
+        self._fused_table_cache = (self.params, fused_table)
         return float(mean_loss), float(hit), float(ndcg)
 
     # ------------------------------------------------------------------
@@ -350,10 +346,16 @@ class CachedTrainer(TrainLoopMixin):
                   self.train_log_mask, self.pop_prob)
         self.params, self.opt_state, self.rng, losses = self._multi_epoch_fn(
             self.params, self.opt_state, self.rng, perms, tables)
+        # the multi-epoch scan keeps only per-epoch means: clear the
+        # per-step buffer so _log_step_losses cannot replay a stale epoch
+        self._last_step_losses = None
         return [float(x) for x in np.asarray(losses)]
 
     # ------------------------------------------------------------------
     def fused_item_table(self):
+        cached = getattr(self, "_fused_table_cache", None)
+        if cached is not None and cached[0] is self.params:
+            return cached[1]
         return compute_item_tables(
             self.model, self.params, self.cv_table, self.text_table)
 

@@ -204,3 +204,31 @@ def test_fused_mha_falls_back_on_unsupported_geometry():
     out = fa.fused_mha(q, k, v, H)
     want = fa._reference_mha(q, k, v, None, H, jnp.float32)
     np.testing.assert_allclose(np.asarray(out), np.asarray(want), atol=1e-5)
+
+
+@requires_tpu
+def test_tpu_bwd_with_key_bias():
+    """Gradient through the fused kernel WITH a key bias (padding mask):
+    the VJP residual is the kernel-shaped (B, 1, T) bias, which must be
+    re-flattened before the XLA reference recompute (previously raised a
+    rank error at trace time)."""
+    rng = np.random.default_rng(3)
+    B, T, D, H = 8, 24, 64, 4
+    mk = lambda: jnp.asarray(rng.standard_normal((B, T, D)) * 0.3,
+                             jnp.float32)
+    q, k, v = mk(), mk(), mk()
+    bias = np.zeros((B, T), np.float32)
+    bias[:, -5:] = -1e9                       # padded key positions
+    bias = jnp.asarray(bias)
+
+    def f_fused(q_):
+        return fa.fused_mha(q_, k, v, H, key_bias=bias).astype(
+            jnp.float32).sum()
+
+    def f_ref(q_):
+        return fa._reference_mha(q_, k, v, bias, H, jnp.float32).astype(
+            jnp.float32).sum()
+
+    g_fused = np.asarray(jax.grad(f_fused)(q))
+    g_ref = np.asarray(jax.grad(f_ref)(q))
+    np.testing.assert_allclose(g_fused, g_ref, atol=2e-4)
