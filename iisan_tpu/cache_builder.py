@@ -12,7 +12,9 @@ TPU rebuild: one jitted batched tower forward per catalog chunk with a
 double-buffered host image/tokens feed, hidden-state CLS (or mean-pool)
 computed on device, results streamed into the dense memmap
 HiddenStateCache (data/cache_store.py) - no tiny-file storm.  Resume is a
-row-granular ``start_item`` (the builder records progress in meta).
+row-granular ``start_item``: pass the first row still missing and the
+existing store is reopened writable (geometry-checked) instead of
+truncated.
 """
 
 from __future__ import annotations
@@ -85,7 +87,8 @@ def build_text_cache(bert, params, token_table: np.ndarray, out_path: str,
     n = token_table.shape[0]
     probe = _text_states(bert, params, jnp.asarray(token_table[:1]), pool)
     n_layers, dim = probe.shape[1], probe.shape[2]
-    store = HiddenStateCache.create(out_path, n, n_layers, dim, dtype)
+    store = HiddenStateCache.create(out_path, n, n_layers, dim, dtype,
+                                    resume=start_item > 1)
     for s in range(start_item, n, batch):
         e = min(s + batch, n)
         toks = np.resize(token_table[s:e], (batch, token_table.shape[1]))
@@ -105,7 +108,8 @@ def build_image_cache(vit, params, item_names: Sequence[str], image_store,
     probe = _image_states(vit, params,
                           jnp.zeros((1, resize, resize, 3), jnp.uint8))
     n_layers, dim = probe.shape[1], probe.shape[2]
-    store = HiddenStateCache.create(out_path, n, n_layers, dim, dtype)
+    store = HiddenStateCache.create(out_path, n, n_layers, dim, dtype,
+                                    resume=start_item > 1)
     loader = ParallelImageLoader(image_store)
     spans = [(s, min(s + batch, n)) for s in range(start_item, n, batch)]
     name_batches = [

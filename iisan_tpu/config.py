@@ -233,6 +233,15 @@ class IISANConfig:
         """
         return "IISAN" in self.adapter_type and self.adding_adapter_to != "None"
 
+    def towers_frozen(self) -> bool:
+        """Uncached-IISAN towers are stop-gradient-frozen UNLESS the user
+        passes fine_tune_to='all' — the reference's `pass` branch
+        (run.py:177-178) leaves tower requires_grad True there, so the
+        towers genuinely train.  Gates both the model's tap stop_gradient
+        and the fused-attention kernel (whose dropout-mode VJP raises —
+        safe only when no gradient reaches the towers)."""
+        return self.is_iisan() and "all" not in self.fine_tune_to
+
     @property
     def gated(self) -> bool:
         return self.fusion_method == "gated"

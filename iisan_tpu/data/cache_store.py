@@ -60,10 +60,25 @@ class HiddenStateCache:
     # ------------------------------------------------------------------
     @classmethod
     def create(cls, path: str, n_items: int, n_layers: int, dim: int,
-               dtype: str = "float16") -> "HiddenStateCache":
+               dtype: str = "float16",
+               resume: bool = False) -> "HiddenStateCache":
+        """Fresh store (mode 'w+': truncates!).  With ``resume=True`` and a
+        matching existing store, reopen it writable ('r+') instead — the
+        builders' start_item resume path; 'w+' there would zero every row
+        already built."""
         os.makedirs(path, exist_ok=True)
         meta = CacheMeta(n_items, n_layers, dim, dtype)
-        with open(os.path.join(path, META_NAME), "w") as f:
+        meta_path = os.path.join(path, META_NAME)
+        if resume and os.path.exists(meta_path) and os.path.exists(
+                os.path.join(path, DATA_NAME)):
+            with open(meta_path) as f:
+                existing = CacheMeta(**json.loads(f.read()))
+            if existing != meta:
+                raise ValueError(
+                    f"cannot resume into {path}: existing geometry "
+                    f"{existing} != requested {meta}")
+            return cls(path, meta, mode="r+")
+        with open(meta_path, "w") as f:
             f.write(meta.to_json())
         store = cls(path, meta, mode="w+")
         store._arr[0] = 0  # padding item is all-zeros (dataset.py:277-280)
@@ -123,13 +138,30 @@ def import_reference_pt_dir(
     if first is None:
         raise FileNotFoundError(f"no {prefix}_*.pt files under {pt_dir}")
     n_layers, dim = first.shape
-    store = HiddenStateCache.create(out_path, len(item_names), n_layers, dim, dtype)
+    # Import into a staging dir and rename on completion: a crash or a
+    # missing per-item file must not leave a directory that open_cache
+    # would treat as a complete cache with zero-filled tail rows.
+    staging = out_path.rstrip("/\\") + ".importing"
+    store = HiddenStateCache.create(staging, len(item_names), n_layers,
+                                    dim, dtype)
     for i, name in enumerate(item_names):
         if i == 0:
             continue
         key = key_fn(name) if key_fn else name
         p = os.path.join(pt_dir, f"{prefix}_{key}.pt")
+        if not os.path.exists(p):
+            raise FileNotFoundError(
+                f"{p} missing — the reference .pt directory is incomplete "
+                f"(item {i}/{len(item_names) - 1}); finish the reference "
+                "build (its skip-existing resume fills gaps) and re-import")
         t = torch.load(p, map_location="cpu")
         store.write_rows(i, t.numpy().astype(dtype)[None])
     store.flush()
-    return store
+    del store
+    if os.path.isdir(out_path):
+        import shutil
+
+        shutil.rmtree(out_path)
+    os.rename(staging, out_path)
+    return HiddenStateCache(out_path, CacheMeta(len(item_names), n_layers,
+                                                dim, dtype), mode="r")

@@ -19,7 +19,7 @@ from typing import Any, Optional
 import jax.numpy as jnp
 from flax import linen as nn
 
-from ..ops.losses import inbatch_ce_loss
+from ..ops.losses import sequence_train_loss
 from .modules import TorchLinear
 from .san import SideAdapterNetwork, san_from_config
 from .user_encoder import UserEncoder
@@ -97,18 +97,9 @@ class IISANRecModel(nn.Module):
         """Training forward -> scalar loss (ModelMM.forward, model.py:61-105)."""
         emb_cv, emb_text, emb_mm = self.san(cv_states, text_states)
         score_embs = self.fuse(emb_cv, emb_text, emb_mm)  # (bs*(L+1), emb)
-        bs = log_mask.shape[0]
-        input_embs = score_embs.reshape(bs, self.max_seq_len + 1, self.embedding_dim)
-        prec_vec = self.user_encoder(
-            input_embs[:, :-1, :], log_mask, deterministic
-        )  # (bs, L, emb)
-        return inbatch_ce_loss(
-            prec_vec.astype(jnp.float32),
-            score_embs.astype(jnp.float32),
-            item_ids,
-            log_mask,
-            pop_prob,
-        )
+        return sequence_train_loss(self.user_encoder, score_embs, item_ids,
+                                   log_mask, pop_prob, self.max_seq_len,
+                                   self.embedding_dim, deterministic)
 
 
 class IDRecModel(nn.Module):
@@ -146,17 +137,10 @@ class IDRecModel(nn.Module):
         return self.user_encoder(input_embs, log_mask, deterministic)
 
     def __call__(self, item_ids, log_mask, pop_prob, deterministic=False):
-        bs = log_mask.shape[0]
         score_embs = self.id_embedding(item_ids.reshape(-1))
-        input_embs = score_embs.reshape(bs, self.max_seq_len + 1, self.embedding_dim)
-        prec_vec = self.user_encoder(input_embs[:, :-1, :], log_mask, deterministic)
-        return inbatch_ce_loss(
-            prec_vec.astype(jnp.float32),
-            score_embs.astype(jnp.float32),
-            item_ids,
-            log_mask,
-            pop_prob,
-        )
+        return sequence_train_loss(self.user_encoder, score_embs, item_ids,
+                                   log_mask, pop_prob, self.max_seq_len,
+                                   self.embedding_dim, deterministic)
 
 
 def rec_model_from_config(cfg) -> IISANRecModel:

@@ -32,7 +32,7 @@ import jax
 import jax.numpy as jnp
 from flax import linen as nn
 
-from ..ops.losses import inbatch_ce_loss
+from ..ops.losses import sequence_train_loss
 from .bert import BertEncoder
 from .model import ComDense
 from .modules import TorchLinear, XavierLinear
@@ -160,14 +160,9 @@ class UncachedIISANModel(nn.Module):
         cv_taps, text_taps = self.encode_taps(images, tokens, deterministic)
         emb_cv, emb_text, emb_mm = self.san(cv_taps, text_taps)
         score_embs = self.fuse(emb_cv, emb_text, emb_mm)
-        bs = log_mask.shape[0]
-        input_embs = score_embs.reshape(bs, self.max_seq_len + 1,
-                                        self.embedding_dim)
-        prec_vec = self.user_encoder(input_embs[:, :-1, :], log_mask,
-                                     deterministic)
-        return inbatch_ce_loss(
-            prec_vec.astype(jnp.float32), score_embs.astype(jnp.float32),
-            item_ids, log_mask, pop_prob)
+        return sequence_train_loss(self.user_encoder, score_embs, item_ids,
+                                   log_mask, pop_prob, self.max_seq_len,
+                                   self.embedding_dim, deterministic)
 
 
 class FFTRecModel(nn.Module):
@@ -214,14 +209,9 @@ class FFTRecModel(nn.Module):
         emb_cv, _ = self.image_tower(images, deterministic)
         emb_text, _ = self.text_tower(tokens, deterministic)
         score_embs = self.fuse(emb_cv, emb_text, None)
-        bs = log_mask.shape[0]
-        input_embs = score_embs.reshape(bs, self.max_seq_len + 1,
-                                        self.embedding_dim)
-        prec_vec = self.user_encoder(input_embs[:, :-1, :], log_mask,
-                                     deterministic)
-        return inbatch_ce_loss(
-            prec_vec.astype(jnp.float32), score_embs.astype(jnp.float32),
-            item_ids, log_mask, pop_prob)
+        return sequence_train_loss(self.user_encoder, score_embs, item_ids,
+                                   log_mask, pop_prob, self.max_seq_len,
+                                   self.embedding_dim, deterministic)
 
 
 def towers_from_config(cfg, dtype=None):
@@ -247,7 +237,7 @@ def towers_from_config(cfg, dtype=None):
         remat=cfg.remat_towers,
         collect="cls",
         dropout=td if td >= 0 else 0.1,
-        fused_attention=cfg.is_iisan()
+        fused_attention=cfg.towers_frozen()
         and getattr(cfg, "fused_tower_attention", True),
         **peft,
     )
@@ -266,9 +256,11 @@ def towers_from_config(cfg, dtype=None):
         dropout=td if td >= 0 else 0.0,
         # The fused attention kernel has no VJP under active dropout;
         # enable it only for the frozen-tower IISAN path where gradients
-        # stop at the tap boundary (cfg.is_iisan() — same predicate that
-        # selects UncachedIISANModel in build_uncached_model).
-        fused_attention=cfg.is_iisan()
+        # stop at the tap boundary (cfg.towers_frozen() — the same
+        # predicate that sets freeze_towers in build_uncached_model, so
+        # the two cannot desynchronize; fine_tune_to='all' trains the
+        # towers and must take the module path).
+        fused_attention=cfg.towers_frozen()
         and getattr(cfg, "fused_tower_attention", True),
         **vit_peft,
     )

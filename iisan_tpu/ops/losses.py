@@ -72,3 +72,23 @@ def inbatch_ce_loss(
     ce = logz - gold                                      # (bs*L,)
     w = log_mask.reshape(-1).astype(jnp.float32)
     return jnp.sum(ce * w) / jnp.maximum(jnp.sum(w), 1.0)
+
+
+def sequence_train_loss(user_encoder, score_embs, item_ids, log_mask,
+                        pop_prob, max_seq_len: int, embedding_dim: int,
+                        deterministic: bool):
+    """Shared model tail: (bs*(L+1), emb) item embeddings -> SASRec over
+    positions [:, :-1] -> debiased in-batch CE in fp32
+    (ModelMM.forward, model.py:61-105).  The single source of the
+    reshape/slice/cast contract every rec model shares - keep the four
+    models from drifting on it."""
+    bs = log_mask.shape[0]
+    input_embs = score_embs.reshape(bs, max_seq_len + 1, embedding_dim)
+    prec_vec = user_encoder(input_embs[:, :-1, :], log_mask, deterministic)
+    return inbatch_ce_loss(
+        prec_vec.astype(jnp.float32),
+        score_embs.astype(jnp.float32),
+        item_ids,
+        log_mask,
+        pop_prob,
+    )

@@ -54,7 +54,7 @@ def build_uncached_model(cfg: IISANConfig):
             text_tap_ids=cfg.san_text_taps(),
             image_tap_ids=cfg.san_image_taps(),
             modality=cfg.modality,
-            freeze_towers=True,
+            freeze_towers=cfg.towers_frozen(),
             dtype=dtype,
             fused_user_encoder=None
             if getattr(cfg, "fused_user_encoder", True) else False,
@@ -90,8 +90,8 @@ class UncachedTrainer(TrainLoopMixin):
         self.corpus = corpus
         self.token_table = token_table  # (item_num+1, 2*num_words) int32
         self.image_store = image_store
-        self.loader = ParallelImageLoader(image_store,
-                                          num_threads=max(cfg.num_workers, 4))
+        self.loader = ParallelImageLoader(
+            image_store, num_threads=max(cfg.num_workers, 1))
         self.model, self.method = build_uncached_model(cfg)
 
         # Data-parallel layout (DDP analog, run.py:287): params replicated,
@@ -143,7 +143,10 @@ class UncachedTrainer(TrainLoopMixin):
                             jax.tree_util.tree_leaves(self.mask)) if m)
         log.info("##### method %s trainable_num %d #####", self.method, n_train)
 
-    def _build_step(self):
+    def _make_step_body(self):
+        """The single train-step body — jitted directly for training and
+        wrapped in a scan by device_bench, so the benchmark can never
+        measure a different program than training runs."""
         from ..data.images import normalize_images
 
         model, tx = self.model, self.tx
@@ -154,7 +157,6 @@ class UncachedTrainer(TrainLoopMixin):
                                pop, deterministic=False,
                                rngs={"dropout": rng})
 
-        @jax.jit
         def step(params, opt_state, rng, ids, images_u8, tokens, mask, pop):
             # uint8 crosses the host->device boundary; normalize on device
             images = normalize_images(images_u8, dtype)
@@ -166,6 +168,12 @@ class UncachedTrainer(TrainLoopMixin):
             return params, opt_state, rng, loss
 
         return step
+
+    def _build_step(self):
+        # donate params/opt_state: without donation XLA holds input AND
+        # output copies of ~2.4 GB (fp32 params + Adam m/v at BERT-base +
+        # ViT-base geometry) across every step
+        return jax.jit(self._make_step_body(), donate_argnums=(0, 1))
 
     # ------------------------------------------------------------------
     def device_bench(self, n_steps: int = 10):
@@ -181,8 +189,6 @@ class UncachedTrainer(TrainLoopMixin):
         """
         import time
 
-        from ..data.images import normalize_images
-
         cfg, c = self.cfg, self.corpus
         bs, L = cfg.batch_size, cfg.max_seq_len
         ids = self._put(c.train_seqs[:bs], self._row_sh)
@@ -193,23 +199,13 @@ class UncachedTrainer(TrainLoopMixin):
         images_u8 = self._put(rng_np.integers(
             0, 256, (bs * (L + 1), cfg.CV_resize, cfg.CV_resize, 3), np.uint8),
             self._row_sh)
-        dtype = jnp.dtype(cfg.compute_dtype)
-        model, tx, pop = self.model, self.tx, self.pop_prob
-
-        def loss_fn(params, ids, images, tokens, mask, rng):
-            return model.apply({"params": params}, ids, images, tokens, mask,
-                               pop, deterministic=False,
-                               rngs={"dropout": rng})
+        pop = self.pop_prob
+        step_body = self._make_step_body()
 
         def body(carry, _):
             params, opt_state, rng = carry
-            images = normalize_images(images_u8, dtype)
-            rng, dr = jax.random.split(rng)
-            loss, grads = jax.value_and_grad(loss_fn)(
-                params, ids, images, tokens, mask, dr)
-            updates, opt_state = tx.update(grads, opt_state, params)
-            params = jax.tree_util.tree_map(lambda p, u: p + u,
-                                            params, updates)
+            params, opt_state, rng, loss = step_body(
+                params, opt_state, rng, ids, images_u8, tokens, mask, pop)
             return (params, opt_state, rng), loss
 
         @jax.jit
@@ -308,12 +304,11 @@ class UncachedTrainer(TrainLoopMixin):
         for s, images in zip(range(0, n, batch), img_iter):
             e = min(s + batch, n)
             ids = np.resize(idx[s:e], batch)
+            # padding row 0: _batch_names maps id 0 to the loader's
+            # zero image (gray after norm; the reference feeds literal
+            # zeros post-norm, dataset.py:233 - the value difference only
+            # touches the never-ranked pad column)
             images = np.asarray(images)
-            if s == 0:
-                # padding item 0 has the zero image (= gray after norm;
-                # reference feeds literal zeros post-norm, dataset.py:233 -
-                # value difference only touches the never-ranked pad column)
-                images[0] = 0
             tokens = self._put(self.token_table[ids], self._repl)
             outs.append(emb(self.model, self.params,
                             self._put(images, self._repl), tokens)[: e - s])

@@ -89,3 +89,42 @@ def test_cache_reopen(tmp_path):
     re = HiddenStateCache.open(str(tmp_path / "c"))
     np.testing.assert_array_equal(re.load_full()[2],
                                   data[0].astype(np.float32))
+
+
+def test_start_item_resume_preserves_existing_rows(tmp_path):
+    """The documented crash-resume path: re-running with start_item must
+    reopen the existing store writable, NOT truncate it (a 'w+' reopen
+    zero-fills every previously built row)."""
+    bert = BertEncoder(vocab_size=100, hidden_dim=16, num_layers=2,
+                       num_heads=2, intermediate_dim=32, max_position=16,
+                       dropout=0.0)
+    rng = np.random.default_rng(1)
+    n_items, nw = 12, 5
+    tokens = np.zeros((n_items, 2 * nw), np.int32)
+    tokens[1:, :nw] = rng.integers(1, 100, size=(n_items - 1, nw))
+    tokens[1:, nw:] = 1
+    params = bert.init(jax.random.PRNGKey(0), jnp.asarray(tokens[:1, :nw]),
+                       jnp.asarray(tokens[:1, nw:]))["params"]
+
+    full = build_text_cache(bert, params, tokens, str(tmp_path / "full"),
+                            batch=4, dtype="float32")
+    want = full.load_full()
+
+    # simulate a crash after 8 rows: full-geometry store with the tail
+    # rows never written (still zero)
+    part = build_text_cache(bert, params, tokens, str(tmp_path / "resume"),
+                            batch=4, dtype="float32")
+    part._arr[8:] = 0
+    part.flush()
+    del part
+    resumed = build_text_cache(bert, params, tokens,
+                               str(tmp_path / "resume"), batch=4,
+                               dtype="float32", start_item=8)
+    np.testing.assert_allclose(resumed.load_full(), want, atol=1e-6)
+
+    # geometry drift on resume is a loud error, not silent corruption
+    import pytest
+
+    with pytest.raises(ValueError, match="resume"):
+        HiddenStateCache.create(str(tmp_path / "resume"), n_items, 3, 32,
+                                "float32", resume=True)

@@ -88,7 +88,14 @@ def build_both_trainers(tmp_path, cfg, n_epochs=1):
     # Same starting point: the trainable subtrees are module-identical
     # across pipelines; copy them from the uncached init (flax's param
     # folding differs per module path, so independent inits differ).
-    ct.params = {k: uc.params[k] for k in ("san", "user_encoder", "fuse")}
+    # deep copy: both trainers' steps donate their param buffers, so the
+    # trees must not alias (donated buffers are deleted by XLA)
+    import jax
+    import jax.numpy as jnp
+
+    ct.params = jax.tree_util.tree_map(
+        jnp.array, {k: uc.params[k] for k in ("san", "user_encoder",
+                                              "fuse")})
     ct.opt_state = ct.tx.init(ct.params)
     return uc, ct
 
@@ -141,7 +148,12 @@ def test_equivalence_catches_tap_misindexing(tmp_path):
     ct = CachedTrainer(cfg.replace(pipeline="cached"), corpus,
                        image_cache.load_taps(cfg.san_image_taps()),
                        text_cache.load_taps(wrong_taps))
-    ct.params = {k: uc.params[k] for k in ("san", "user_encoder", "fuse")}
+    import jax
+    import jax.numpy as jnp
+
+    ct.params = jax.tree_util.tree_map(
+        jnp.array, {k: uc.params[k] for k in ("san", "user_encoder",
+                                              "fuse")})
     ct.opt_state = ct.tx.init(ct.params)
     uc.run_epoch(0)
     ct.run_epoch(0)

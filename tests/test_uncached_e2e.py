@@ -174,3 +174,31 @@ def test_uncached_trains_from_lmdb_store(tmp_path):
     assert isinstance(trainer, UncachedTrainer)
     assert isinstance(trainer.image_store, LmdbImageStore)
     assert res is not None and np.isfinite(res.losses).all()
+
+
+def test_iisan_fine_tune_all_trains_towers():
+    """fine_tune_to='all' + IISAN: the reference's `pass` branch
+    (run.py:177-178) leaves tower requires_grad True, so towers must
+    genuinely train — no tap stop_gradient, fused attention off (its
+    dropout-mode VJP would raise), and tower params MOVE after a step."""
+    cfg = tiny_cfg(fine_tune_to="all")
+    assert not cfg.towers_frozen()
+    tr = make_trainer(cfg)
+    w_before = np.asarray(
+        tr.params["text_tower"]["bert"]["layer_0"]["intermediate"]["kernel"])
+    g_before = np.asarray(tr.params["san"]["side_gate_params_text"])
+    tr.run_epoch(1)
+    w_after = np.asarray(
+        tr.params["text_tower"]["bert"]["layer_0"]["intermediate"]["kernel"])
+    g_after = np.asarray(tr.params["san"]["side_gate_params_text"])
+    assert not np.allclose(w_before, w_after)     # towers trained
+    assert not np.allclose(g_before, g_after)     # adapters trained too
+    # and the canonical frozen config still freezes
+    cfg2 = tiny_cfg()
+    assert cfg2.towers_frozen()
+    tr2 = make_trainer(cfg2)
+    w2 = np.asarray(
+        tr2.params["text_tower"]["bert"]["layer_0"]["intermediate"]["kernel"])
+    tr2.run_epoch(1)
+    np.testing.assert_array_equal(w2, np.asarray(
+        tr2.params["text_tower"]["bert"]["layer_0"]["intermediate"]["kernel"]))
