@@ -87,8 +87,11 @@ def replicate_global(tree, mesh):
 
 def host_shard(n: int, process_index: Optional[int] = None,
                process_count: Optional[int] = None) -> np.ndarray:
-    """Contiguous per-host index shard padded to equal size by wrapping -
-    the SequentialDistributedSampler layout (dataset.py:324-348)."""
+    """Contiguous per-host index shard padded to equal size by repeating
+    the LAST index (indices[-1]-style padding) - the
+    SequentialDistributedSampler layout (dataset.py:324-348).  Callers
+    must crop the duplicated tail rows before reductions (eval_concat
+    analog)."""
     pi = jax.process_index() if process_index is None else process_index
     pc = jax.process_count() if process_count is None else process_count
     per = -(-n // pc)

@@ -18,6 +18,7 @@ from __future__ import annotations
 
 import itertools
 import logging
+import os
 from typing import Any, Dict, Iterable, List, Tuple
 
 from .config import IISANConfig
@@ -40,6 +41,9 @@ def run_sweep(base_overrides: Dict[str, Any], grid: Dict[str, Iterable],
     for point in expand_grid(grid):
         cfg = IISANConfig(**{**base_overrides, **point})
         label = "_".join(f"{k}{v}" for k, v in point.items())
+        # path-like values (dataset=Dataset/Scientific) would otherwise
+        # put separators into the log filename
+        label = label.replace(os.sep, "-").replace("/", "-")
         cfg = cfg.replace(label_screen=label).with_bert_dims()
         log.info("=== sweep point %s ===", label)
         if dry_run:

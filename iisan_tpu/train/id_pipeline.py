@@ -78,10 +78,10 @@ class IDTrainer(TrainLoopMixin):
 
         @functools.partial(jax.jit, donate_argnums=(0, 1))
         def epoch_fn(params, opt_state, rng, perm, tables):
-            (params, opt_state, rng, loss_sum), _ = jax.lax.scan(
+            (params, opt_state, rng, loss_sum), losses = jax.lax.scan(
                 functools.partial(step, tables),
                 (params, opt_state, rng, jnp.float32(0.0)), perm)
-            return params, opt_state, rng, loss_sum / perm.shape[0]
+            return params, opt_state, rng, loss_sum / perm.shape[0], losses
 
         return epoch_fn
 
@@ -91,8 +91,12 @@ class IDTrainer(TrainLoopMixin):
         perm = np.resize(rng.permutation(n),
                          ((n + bs - 1) // bs) * bs).reshape(-1, bs)
         tables = (self.train_seqs, self.train_log_mask, self.pop_prob)
-        self.params, self.opt_state, self.rng, loss = self._epoch_fn(
+        (self.params, self.opt_state, self.rng, loss,
+         losses) = self._epoch_fn(
             self.params, self.opt_state, self.rng, jnp.asarray(perm), tables)
+        # per-step losses feed the mixin's intra-epoch 'cnt/Ed/batch loss'
+        # lines (run.py:390-392 covers the ID branch too)
+        self._last_step_losses = losses
         return float(loss)
 
     def evaluate_split(self, split: str = "valid") -> Tuple[float, float]:

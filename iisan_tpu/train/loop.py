@@ -114,7 +114,10 @@ class TrainLoopMixin:
                 res.test_metrics = self.evaluate_split("test")
                 log.info("test Hit10 %.5f nDCG10 %.5f",
                          res.test_metrics[0] * 100, res.test_metrics[1] * 100)
-                if save_checkpoints and jax.process_index() == 0:
+                if save_checkpoints:
+                    # every process participates: orbax coordinates
+                    # multi-host saves itself, and globally-sharded
+                    # arrays cannot be written by process 0 alone
                     ckpt_lib.save_checkpoint(
                         cfg.ckpt_dir, now_epoch,
                         {"params": self.params, "opt_state": self.opt_state,
@@ -134,10 +137,15 @@ class TrainLoopMixin:
         self.opt_state = state["opt_state"]
         self.rng = state["rng"]
         # Re-place on the trainer's mesh sharding (restored arrays land on
-        # the default device).
+        # the default device).  put_global handles multi-process meshes,
+        # where plain device_put cannot address remote devices.
         repl = getattr(self, "_repl", None)
         if repl is not None:
-            self.params = jax.device_put(self.params, repl)
-            self.opt_state = jax.device_put(self.opt_state, repl)
-            self.rng = jax.device_put(self.rng, repl)
+            from ..parallel.distributed import put_global
+
+            self.params = jax.tree_util.tree_map(
+                lambda x: put_global(x, repl), self.params)
+            self.opt_state = jax.tree_util.tree_map(
+                lambda x: put_global(x, repl), self.opt_state)
+            self.rng = put_global(self.rng, repl)
         return epoch

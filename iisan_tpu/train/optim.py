@@ -24,8 +24,12 @@ Label table for the cached IISAN model (derived from run.py:267-292):
   san/cv_pre_fc, san/bert_pre_fc     recsys          --lr
   san/down_project_list_*            recsys          --lr
   user_encoder/*, fuse/*             recsys          --lr
-  (uncached towers) bert/*           text_tower      --fine_tune_lr_text
-  (uncached towers) vit/*            image_tower     --fine_tune_lr_image
+  text_tower/bert/*                  text_tower      --fine_tune_lr_text
+  text_tower/bert/*lora_|adapter*    adapter_text    --adapter_bert_lr
+  text_tower/fc/*  (title fc head)   recsys          --lr
+  image_tower/vit/*                  image_tower     --fine_tune_lr_image
+  image_tower/vit/*lora_|adapter*    adapter_cv      --adapter_cv_lr
+  image_tower/classifier/*           recsys          --lr
 """
 
 from __future__ import annotations
@@ -52,10 +56,21 @@ def label_for_path(path: str) -> str:
         return "text_tower"
     if "fc_cv" in path:
         return "image_tower"
-    # Frozen-tower fine-tune params (uncached FFT/LoRA/BitFit paths).
-    if path.startswith("bert/") or "/bert_model/" in path:
+    # Uncached tower params (FFT/LoRA/Houlsby/BitFit; run.py:296-316):
+    # tower weights at the fine-tune lrs, in-tower adapters/LoRA at the
+    # adapter lrs, the replaced heads (title fc / ViT classifier) in the
+    # recsys group like the reference's 'fc'-without-'fc_' rule.
+    if path.startswith("text_tower/"):
+        if path.startswith("text_tower/fc/"):
+            return "recsys"
+        if "lora_" in path or "adapter" in path:
+            return "adapter_text"
         return "text_tower"
-    if path.startswith("vit/") or "/image_net/" in path:
+    if path.startswith("image_tower/"):
+        if path.startswith("image_tower/classifier/"):
+            return "recsys"
+        if "lora_" in path or "adapter" in path:
+            return "adapter_cv"
         return "image_tower"
     return "recsys"
 

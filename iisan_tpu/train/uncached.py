@@ -325,8 +325,11 @@ class UncachedTrainer(TrainLoopMixin):
         return out
 
     def evaluate_split(self, split: str = "valid",
-                       batch_size: int = 256) -> Tuple[float, float]:
+                       batch_size: int = None) -> Tuple[float, float]:
         from ..eval.evaluate import evaluate
+
+        if batch_size is None:
+            batch_size = self.cfg.eval_batch_size
 
         c = self.corpus
         table = self.item_embedding_tables()

@@ -16,7 +16,18 @@ FORMAT = "[%(levelname)s %(asctime)s] %(message)s"
 
 
 def setup_logger(log_dir: str, label: str, mode: str = "train",
-                 process_index: int = 0) -> logging.Logger:
+                 process_index: int = None) -> logging.Logger:
+    """Rank-gated dual logger (setuplogger, utils.py:21-55): INFO +
+    file handler on process 0, WARN-only elsewhere.  process_index
+    defaults to the ACTUAL jax process index so multi-host callers get
+    the gate without having to remember to pass it."""
+    if process_index is None:
+        try:
+            import jax
+
+            process_index = jax.process_index()
+        except Exception:
+            process_index = 0
     logger = logging.getLogger("iisan_tpu")
     logger.handlers.clear()
     logger.propagate = False

@@ -136,14 +136,23 @@ def tpme_scores(records: List[RunRecord],
 
     def norm(vals):
         vals = np.asarray(vals, dtype=np.float64)
-        lo, hi = vals.min(), vals.max()
-        if hi == lo:
+        avail = ~np.isnan(vals)
+        if not avail.any():
             return np.zeros_like(vals)
-        return (vals - lo) / (hi - lo)
+        lo, hi = vals[avail].min(), vals[avail].max()
+        out = np.zeros_like(vals)
+        if hi > lo:
+            out[avail] = (vals[avail] - lo) / (hi - lo)
+        # unmeasured entries (e.g. no memory stats on this backend) take
+        # the mean of the measured scores: neutral, instead of scoring 0
+        # (= best) and inflating every other run's term
+        out[~avail] = out[avail].mean()
+        return out
 
     t = norm([r.epoch_seconds for r in records])
     p = norm([r.trainable_params for r in records])
-    m = norm([r.peak_memory_bytes or 0 for r in records])
+    m = norm([float(r.peak_memory_bytes) if r.peak_memory_bytes is not None
+              else np.nan for r in records])
     out = {}
     for i, r in enumerate(records):
         out[r.label] = float(alpha[0] * t[i] + alpha[1] * p[i] + alpha[2] * m[i])

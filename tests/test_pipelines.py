@@ -165,3 +165,84 @@ def test_tpme_scores():
     assert scores["fft"] == pytest.approx(1.0)
     assert scores["iisan_cached"] == pytest.approx(0.0)
     assert 0 < scores["lora"] < 1
+
+
+def test_optimizer_labels_for_uncached_tower_paths():
+    """run.py:296-316's group membership for the REAL Flax tree paths:
+    tower weights at fine-tune lrs, in-tower LoRA/Houlsby at adapter lrs,
+    replaced heads in recsys (previously every tower param silently fell
+    to recsys and trained at the wrong lr)."""
+    from iisan_tpu.train.optim import label_for_path
+
+    assert label_for_path(
+        "text_tower/bert/layer_0/attention/query/kernel") == "text_tower"
+    assert label_for_path(
+        "image_tower/vit/layer_3/intermediate/kernel") == "image_tower"
+    assert label_for_path(
+        "text_tower/bert/layer_0/attention/query/lora_A") == "adapter_text"
+    assert label_for_path(
+        "image_tower/vit/layer_1/attention/value/lora_B") == "adapter_cv"
+    assert label_for_path(
+        "text_tower/bert/layer_0/attention_adapter/fc_down/kernel"
+    ) == "adapter_text"
+    assert label_for_path(
+        "image_tower/vit/layer_0/output_adapter/fc_up/bias") == "adapter_cv"
+    # replaced heads: title fc / ViT classifier -> recsys (the
+    # 'fc'-without-'fc_' / 'classifier' rules, run.py:299,308)
+    assert label_for_path("text_tower/fc/kernel") == "recsys"
+    assert label_for_path("image_tower/classifier/bias") == "recsys"
+    # BitFit tower biases stay in the tower groups
+    assert label_for_path(
+        "text_tower/bert/layer_1/intermediate/bias") == "text_tower"
+    # cached-tree labels unchanged
+    assert label_for_path("san/bert_adapter_list_wd") == "adapter_text"
+    assert label_for_path("san/side_gate_params_cv") == "image_tower"
+    assert label_for_path("user_encoder/transformer_encoder/layer_norm/"
+                          "scale") == "recsys"
+
+
+def test_tpme_scores_missing_memory_is_neutral():
+    """A record without memory stats must not score 0 (= best) and
+    inflate every other run's 0.45-weighted memory term."""
+    from iisan_tpu.utils.tpme import RunRecord, tpme_scores
+
+    def rec(label, t, p, m):
+        r = RunRecord(label=label, epoch_seconds=t, trainable_params=p,
+                      peak_memory_bytes=m)
+        return r
+
+    a = rec("a", 10.0, 1000, 1 * 2**30)
+    b = rec("b", 20.0, 2000, 2 * 2**30)
+    c = rec("c", 15.0, 1500, None)          # unmeasured memory
+    scores = tpme_scores([a, b, c])
+    # measured pair unaffected by c's presence
+    scores_ab = tpme_scores([a, b])
+    assert abs(scores["a"] - scores_ab["a"]) < 1e-9
+    assert abs(scores["b"] - scores_ab["b"]) < 1e-9
+    # c's memory term is the mean of the measured normalized values (0.5
+    # here), not 0
+    import numpy as np
+
+    from iisan_tpu.utils.tpme import ALPHA
+
+    t_c, p_c = 0.5, 0.5
+    assert abs(scores["c"] - (ALPHA[0] * t_c + ALPHA[1] * p_c
+                              + ALPHA[2] * 0.5)) < 1e-9
+
+
+def test_sweep_label_sanitizes_path_values(tmp_path, monkeypatch):
+    """Sweeping a path-like value (dataset=Dataset/Scientific) must not
+    put separators into the log filename."""
+    from iisan_tpu import sweep as sweep_mod
+
+    seen = []
+
+    def fake_run(cfg, eval_only=False):
+        seen.append(cfg.label_screen)
+        return None, None
+
+    monkeypatch.setattr("iisan_tpu.train.pipelines.run_from_config",
+                        fake_run)
+    sweep_mod.run_sweep({}, {"dataset": ["Dataset/Scientific"]},
+                        dry_run=False)
+    assert seen and "/" not in seen[0]
