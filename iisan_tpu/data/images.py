@@ -88,6 +88,16 @@ class LMDBImage:
         return arr.reshape(*self.size, self.channels)
 
 
+def is_lmdb_path(path: str) -> bool:
+    """True when ``path`` is an LMDB source: a single data file, or the
+    directory form lmdb itself writes (``data.mdb`` inside). A plain
+    directory of JPEGs is NOT an LMDB and routes to DirImageStore."""
+    if not path:
+        return False
+    return os.path.isfile(path) or os.path.isfile(
+        os.path.join(path, "data.mdb"))
+
+
 class LmdbImageStore:
     """Reads the reference LMDB layout (keys = ascii item names, plus
     __keys__/__len__ metadata; cached variants strip 'v' from names,

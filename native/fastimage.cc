@@ -77,6 +77,11 @@ void resize_bilinear(const uint8_t* src, int sw, int sh, uint8_t* dst,
 bool decode_one(const uint8_t* data, size_t len, int resize, uint8_t* out) {
   jpeg_decompress_struct cinfo;
   ErrMgr jerr;
+  // Constructed BEFORE setjmp: longjmp skips destructors of objects
+  // created after the setjmp point in this frame, which would leak the
+  // decode buffer on every corrupt image; an object alive across setjmp
+  // is destroyed normally when the function returns.
+  std::vector<uint8_t> img;
   cinfo.err = jpeg_std_error(&jerr.pub);
   jerr.pub.error_exit = err_exit;
   jerr.pub.output_message = silent_output;
@@ -106,7 +111,7 @@ bool decode_one(const uint8_t* data, size_t len, int resize, uint8_t* out) {
   }
   jpeg_start_decompress(&cinfo);
   const int w = cinfo.output_width, h = cinfo.output_height;
-  std::vector<uint8_t> img(static_cast<size_t>(w) * h * 3);
+  img.resize(static_cast<size_t>(w) * h * 3);
   while (cinfo.output_scanline < cinfo.output_height) {
     uint8_t* row = img.data() + static_cast<size_t>(cinfo.output_scanline) * w * 3;
     jpeg_read_scanlines(&cinfo, &row, 1);

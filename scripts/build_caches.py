@@ -58,7 +58,8 @@ def main():
                                          verify_cache)
     from iisan_tpu.data import preprocess as prep
     from iisan_tpu.data.images import (DirImageStore, HAS_LMDB,
-                                       LmdbImageStore, SyntheticImageStore)
+                                       LmdbImageStore, SyntheticImageStore,
+                                       is_lmdb_path)
     from iisan_tpu.models import bert as jbert
     from iisan_tpu.models import vit as jvit
     from iisan_tpu.utils.logging import setup_logger
@@ -125,7 +126,9 @@ def main():
             hf_vit.state_dict(), num_layers=hf_vcfg.num_hidden_layers,
             prefix="")
 
-    if args.image_source and HAS_LMDB and not os.path.isdir(args.image_source):
+    # LMDB sources: a data file, or the directory form (data.mdb inside);
+    # only a plain directory of JPEGs routes to DirImageStore
+    if is_lmdb_path(args.image_source) and HAS_LMDB:
         img_store = LmdbImageStore(args.image_source, args.resize)
     elif args.image_source and os.path.isdir(args.image_source):
         img_store = DirImageStore(args.image_source, args.resize)

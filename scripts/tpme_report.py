@@ -63,9 +63,11 @@ def main():
             continue
         rec = json.loads(res.stdout.strip().splitlines()[-1])
         records.append(rec)
+        mem = rec.get('memory_bytes')
+        mem_str = f"{mem / 2**20:.0f} MiB" if mem is not None else "n/a"
         print(f"  epoch {rec['epoch_seconds']:.2f}s  "
               f"params {rec['trainable_params']:,}  "
-              f"mem {rec['memory_bytes'] / 2**20:.0f} MiB", flush=True)
+              f"mem {mem_str}", flush=True)
         # Crash-resilience: persist each record as it lands so a killed run
         # can be resumed per-method and merged.
         with open("TPME_partial.json", "w") as f:
@@ -74,14 +76,16 @@ def main():
     from iisan_tpu.utils.tpme import ALPHA, RunRecord, tpme_scores
 
     runs = [RunRecord(r["label"], r["epoch_seconds"], r["trainable_params"],
-                      r["memory_bytes"]) for r in records]
+                      r.get("memory_bytes")) for r in records]
     scores = tpme_scores(runs)
     print(f"\nTPME (alpha={ALPHA}; lower is better)")
     print(f"{'method':<16}{'epoch_s':>10}{'params':>14}{'mem_MiB':>10}{'TPME':>8}")
     for r in sorted(records, key=lambda r: scores[r["label"]]):
+        mem = r.get('memory_bytes')
+        mem_col = f"{mem / 2**20:.0f}" if mem is not None else "n/a"
         print(f"{r['label']:<16}{r['epoch_seconds']:>10.2f}"
               f"{r['trainable_params']:>14,}"
-              f"{r['memory_bytes'] / 2**20:>10.0f}"
+              f"{mem_col:>10}"
               f"{scores[r['label']]:>8.3f}")
     out = {"alpha": list(ALPHA), "records": records, "tpme": scores}
     with open("TPME.json", "w") as f:

@@ -323,3 +323,27 @@ def test_cursor_matches_real_lmdb_surface(tmp_path):
     # plain iteration and context-manager use both work
     with env.begin().cursor() as cur4:
         assert [k for k, _ in cur4] == [b"a", b"b", b"c"]
+
+
+def test_is_lmdb_path_routing(tmp_path):
+    """scripts/build_caches.py routes an image source by this predicate:
+    LMDB file / directory-form LMDB (data.mdb inside) -> LmdbImageStore,
+    plain JPEG directory -> DirImageStore."""
+    from iisan_tpu.data.images import is_lmdb_path
+
+    assert not is_lmdb_path("")
+
+    db_file = tmp_path / "images.lmdb"
+    db_file.write_bytes(b"\x00" * 16)
+    assert is_lmdb_path(str(db_file))
+
+    db_dir = tmp_path / "db_dir"
+    db_dir.mkdir()
+    (db_dir / "data.mdb").write_bytes(b"\x00" * 16)
+    assert is_lmdb_path(str(db_dir))
+
+    jpeg_dir = tmp_path / "jpegs"
+    jpeg_dir.mkdir()
+    (jpeg_dir / "item1.jpg").write_bytes(b"\xff\xd8\xff")
+    assert not is_lmdb_path(str(jpeg_dir))
+    assert not is_lmdb_path(str(tmp_path / "missing"))
