@@ -28,7 +28,10 @@ log = logging.getLogger("iisan_tpu")
 
 _NATIVE_DIR = os.path.join(os.path.dirname(os.path.dirname(
     os.path.dirname(os.path.abspath(__file__)))), "native")
-_LIB_PATH = os.path.join(_NATIVE_DIR, "libfastimage.so")
+# Installed wheels don't carry native/ next to the package; deployments
+# point at a prebuilt library (native/build.sh output) via this env var.
+_LIB_PATH = os.environ.get(
+    "IISAN_FASTIMAGE_LIB", os.path.join(_NATIVE_DIR, "libfastimage.so"))
 
 _lock = threading.Lock()
 _lib: Optional[ctypes.CDLL] = None
@@ -42,6 +45,11 @@ def _load() -> Optional[ctypes.CDLL]:
             return _lib
         _tried = True
         if not os.path.exists(_LIB_PATH):
+            if "IISAN_FASTIMAGE_LIB" in os.environ:
+                # explicit path that doesn't exist: report, don't auto-build
+                # into a different location
+                log.warning("IISAN_FASTIMAGE_LIB=%s not found", _LIB_PATH)
+                return None
             try:
                 subprocess.run(["sh", os.path.join(_NATIVE_DIR, "build.sh")],
                                check=True, capture_output=True, text=True)
