@@ -128,3 +128,9 @@ def test_start_item_resume_preserves_existing_rows(tmp_path):
     with pytest.raises(ValueError, match="resume"):
         HiddenStateCache.create(str(tmp_path / "resume"), n_items, 3, 32,
                                 "float32", resume=True)
+
+    # resuming into a path with no store is also a loud error: silently
+    # creating fresh would leave rows [1, start_item) all-zero
+    with pytest.raises(FileNotFoundError, match="resume"):
+        build_text_cache(bert, params, tokens, str(tmp_path / "nothing"),
+                         batch=4, dtype="float32", start_item=8)

@@ -68,6 +68,20 @@ def test_dp_plus_tensor_sharded_tables():
     np.testing.assert_allclose(l1, l42, rtol=1e-4)
 
 
+@pytest.mark.skipif(len(jax.devices()) < 2, reason="needs 2 devices")
+def test_model_only_mesh_replicates_batch():
+    """A mesh with no 'data' axis (pure tensor sharding, e.g.
+    mesh_shape='model:2') must train with the batch replicated — not
+    crash building a P('data') sharding — and match single-device."""
+    tr1 = build(make_mesh(devices=jax.devices()[:1]))
+    trm = build(make_mesh("model:2"))
+    assert trm.cv_table.sharding.spec == \
+        jax.sharding.PartitionSpec(None, None, "model")
+    l1 = [tr1.run_epoch(e) for e in (1, 2)]
+    lm = [trm.run_epoch(e) for e in (1, 2)]
+    np.testing.assert_allclose(l1, lm, rtol=1e-4)
+
+
 @pytest.mark.skipif(len(jax.devices()) < 8, reason="needs 8 devices")
 def test_graft_dryrun_multichip():
     import __graft_entry__ as g

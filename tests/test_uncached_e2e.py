@@ -176,6 +176,45 @@ def test_uncached_trains_from_lmdb_store(tmp_path):
     assert res is not None and np.isfinite(res.losses).all()
 
 
+def test_device_bench_corpus_smaller_than_batch():
+    """device_bench must cyclically extend a corpus smaller than one
+    batch (as epoch_permutation does) rather than feed mismatched batch
+    dims into the jitted step."""
+    tr = make_trainer(tiny_cfg(batch_size=16))  # corpus has 12 users
+    res = tr.device_bench(n_steps=2)
+    assert np.isfinite(res["seconds_per_step"])
+
+
+def test_uncached_model_only_mesh_replicates_batch():
+    """mesh_shape='model:2' (no data axis): the batch must replicate
+    instead of crashing on a P('data') sharding the mesh cannot satisfy."""
+    if len(jax.devices()) < 2:
+        pytest.skip("needs 2 devices")
+    tr = make_trainer(tiny_cfg(mesh_shape="model:2"))
+    assert "data" not in tr.mesh.axis_names
+    assert np.isfinite(tr.run_epoch(1))
+
+
+def test_finetune_layernorm_trains_tower_layernorms():
+    """finetune_layernorm re-enables tower LayerNorm params AND their
+    gradients must actually flow (run.py:281-285: requires_grad=True on a
+    param inside a 'frozen' torch tower still trains it).  The tap
+    stop_gradient would silently zero those grads, so towers_frozen()
+    must be False here — LN params MOVE, other tower params stay put."""
+    cfg = tiny_cfg(finetune_layernorm="all")
+    assert not cfg.towers_frozen()
+    tr = make_trainer(cfg)
+    bert0 = tr.params["text_tower"]["bert"]["layer_0"]
+    ln_before = np.asarray(bert0["attention_layernorm"]["scale"])
+    w_before = np.asarray(bert0["intermediate"]["kernel"])
+    tr.run_epoch(1)
+    bert0 = tr.params["text_tower"]["bert"]["layer_0"]
+    assert not np.allclose(ln_before,
+                           np.asarray(bert0["attention_layernorm"]["scale"]))
+    np.testing.assert_array_equal(
+        w_before, np.asarray(bert0["intermediate"]["kernel"]))
+
+
 def test_iisan_fine_tune_all_trains_towers():
     """fine_tune_to='all' + IISAN: the reference's `pass` branch
     (run.py:177-178) leaves tower requires_grad True, so towers must
