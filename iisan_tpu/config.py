@@ -161,6 +161,12 @@ class IISANConfig:
     # lax.scan unroll factor for the cached epoch loop: >1 lets XLA overlap
     # the per-step gathers/updates across steps at the cost of compile time.
     epoch_scan_unroll: int = 1
+    # Device residency of the cached tap tables (cached/cached_asym):
+    # "none" keeps them in compute_dtype; "int8" quantizes per (item, tap)
+    # row (ops/quant.py) — halves HBM residency and gather bandwidth vs
+    # bf16, the scaling lever for IISAN-Versa's 8192-dim caches where the
+    # tables (not the model) set the per-chip catalog ceiling.
+    cache_quant: str = "none"
     # Fused Pallas encoder attention in the uncached towers
     # (ops/fused_attention.py); applies to the frozen-tower IISAN path
     # only (methods that train the towers always use the XLA path).

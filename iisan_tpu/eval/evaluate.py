@@ -31,6 +31,7 @@ import jax.numpy as jnp
 import numpy as np
 
 from ..ops.metrics import hit_ndcg_at_k, mask_history
+from ..ops.quant import gather_rows
 
 
 def _fuse_chunk_impl(model, params, cv, text):
@@ -43,44 +44,50 @@ def _fuse_chunk_impl(model, params, cv, text):
         method=model.fuse_embeddings)
 
 
-_emb_chunk = jax.jit(_fuse_chunk_impl, static_argnums=0)
+def _fuse_ids_impl(model, params, cv_taps, text_taps, ids):
+    """Gather one id-chunk of catalog rows (dequantizing if the table is
+    QuantTaps) and fuse it.  mode="clip": tail ids past the catalog read
+    the last row; callers slice those rows off."""
+    return _fuse_chunk_impl(model, params,
+                            gather_rows(cv_taps, ids),
+                            gather_rows(text_taps, ids))
+
+
+_emb_chunk = jax.jit(_fuse_ids_impl, static_argnums=0)
+
+
+def _chunk_ids(n: int, chunk: int):
+    """(n_chunks, chunk) int32 catalog ids, tail wrapped via clip."""
+    n_pad = ((n + chunk - 1) // chunk) * chunk
+    return np.minimum(np.arange(n_pad, dtype=np.int32),
+                      n - 1).reshape(-1, chunk)
 
 
 def fused_table_in_graph(model, params, cv_taps, text_taps,
                          chunk: int = 8192):
-    """Traceable fused-table build: lax.map over padded catalog chunks.
+    """Traceable fused-table build: lax.map over catalog id chunks.
 
     Same math as compute_item_tables but embeddable inside a larger jitted
-    program (the fused epoch+eval dispatch, train/cached.py).
+    program (the fused epoch+eval dispatch, train/cached.py).  Chunking by
+    id (not by padded value slices) keeps the working set at one chunk and
+    works for quantized tables.
     """
     n = cv_taps.shape[0]
-    n_pad = ((n + chunk - 1) // chunk) * chunk
-    cv_p = jnp.pad(cv_taps, ((0, n_pad - n), (0, 0), (0, 0)))
-    tx_p = jnp.pad(text_taps, ((0, n_pad - n), (0, 0), (0, 0)))
+    ids = jnp.asarray(_chunk_ids(n, chunk))
     fused = jax.lax.map(
-        lambda args: _fuse_chunk_impl(model, params, *args),
-        (cv_p.reshape(n_pad // chunk, chunk, *cv_taps.shape[1:]),
-         tx_p.reshape(n_pad // chunk, chunk, *text_taps.shape[1:])))
-    return fused.reshape(n_pad, -1)[:n]
+        lambda c: _fuse_ids_impl(model, params, cv_taps, text_taps, c), ids)
+    return fused.reshape(ids.size, -1)[:n]
 
 
 def compute_item_tables(model, params, cv_taps, text_taps, chunk: int = 8192):
     """Chunked no-grad SAN pass over the catalog (metrics.py:69-111).
 
-    cv_taps/text_taps: (item_num+1, K, dim) device arrays.  Returns the
-    fused (item_num+1, emb) table.
+    cv_taps/text_taps: (item_num+1, K, dim) device arrays (or QuantTaps).
+    Returns the fused (item_num+1, emb) table.
     """
     n = cv_taps.shape[0]
-    outs = []
-    for s in range(0, n, chunk):
-        e = min(s + chunk, n)
-        cv = cv_taps[s:e]
-        text = text_taps[s:e]
-        if e - s < chunk:  # pad the tail chunk to keep one compiled shape
-            pad = chunk - (e - s)
-            cv = jnp.pad(cv, ((0, pad), (0, 0), (0, 0)))
-            text = jnp.pad(text, ((0, pad), (0, 0), (0, 0)))
-        outs.append(_emb_chunk(model, params, cv, text))
+    outs = [_emb_chunk(model, params, cv_taps, text_taps, jnp.asarray(c))
+            for c in _chunk_ids(n, chunk)]
     if len(outs) == 1:
         return outs[0][:n]
     return jnp.concatenate(outs, axis=0)[:n]

@@ -96,10 +96,14 @@ class CachedTrainer(TrainLoopMixin):
         self._multiproc = jax.process_count() > 1
 
         # Device residency: tap tables + the full (tiny) index arrays.
+        # cache_quant="int8" stores each table as int8 rows + per-(item,
+        # tap) fp32 scales (ops/quant.py): half the HBM and half the
+        # per-step gather bandwidth of bf16 — the scaling lever for
+        # Versa's 8192-dim caches.  The scales (3 orders of magnitude
+        # smaller) are replicated; the int8 rows take the table sharding.
         store_dt = jnp.dtype(cfg.compute_dtype)
-        self.cv_table = self._put(cv_taps.astype(store_dt), self._table_sh)
-        self.text_table = self._put(text_taps.astype(store_dt),
-                                    self._table_sh)
+        self.cv_table = self._put_table(cv_taps, store_dt)
+        self.text_table = self._put_table(text_taps, store_dt)
         self.pop_prob = self._put(corpus.pop_prob, self._repl)
         self.train_seqs = self._put(corpus.train_seqs, self._repl)
         self.train_log_mask = self._put(corpus.train_log_mask, self._repl)
@@ -141,6 +145,22 @@ class CachedTrainer(TrainLoopMixin):
                 log.info("%s: %s", name, np.round(vals, 4).tolist())
 
     # ------------------------------------------------------------------
+    def _put_table(self, taps: np.ndarray, store_dt):
+        """Host tap table -> device residency per cfg.cache_quant."""
+        quant = getattr(self.cfg, "cache_quant", "none")
+        if quant == "int8":
+            from ..ops.quant import QuantTaps, quantize_taps
+
+            t = quantize_taps(taps, out_dtype=store_dt.name)
+            return QuantTaps(self._put(t.q, self._table_sh),
+                             self._put(t.scale, self._repl),
+                             out_dtype=t.out_dtype)
+        if quant != "none":
+            raise ValueError(f"unsupported cache_quant={quant!r} "
+                             "(expected 'none' or 'int8')")
+        return self._put(taps.astype(store_dt), self._table_sh)
+
+    # ------------------------------------------------------------------
     def _put(self, x, sharding):
         """Host value -> device array on the mesh; multi-process-safe."""
         if self._multiproc:
@@ -167,14 +187,17 @@ class CachedTrainer(TrainLoopMixin):
         # [0, item_num] by construction (preprocess.py re-densification), so
         # XLA's default out-of-bounds fill (a compare + select over the full
         # 2x(704,K,768) gather output, ~8 us/step on v5e) is pure waste.
+        # gather_rows dequantizes on the fly when the table is QuantTaps.
+        from ..ops.quant import gather_rows
+
         def step(tables, carry, batch):
             cv_table, text_table, pop_prob = tables
             ids, mask = batch
             params, opt_state, rng, loss_sum = carry
             rng, dropout_rng = jax.random.split(rng)
             flat = ids.reshape(-1)
-            cv = jnp.take(cv_table, flat, axis=0, mode="clip")
-            text = jnp.take(text_table, flat, axis=0, mode="clip")
+            cv = gather_rows(cv_table, flat)
+            text = gather_rows(text_table, flat)
             loss, grads = jax.value_and_grad(loss_fn)(
                 params, cv, text, ids, mask, pop_prob, dropout_rng)
             updates, opt_state = tx.update(grads, opt_state, params)

@@ -124,6 +124,16 @@ def validate_config(cfg: IISANConfig) -> None:
             "supported; the reference's resnet/mae branches reference "
             "encoder classes that do not exist in its cached trees "
             "(SURVEY.md section 2.1 #5)")
+    if cfg.cache_quant not in ("none", "int8"):
+        raise ValueError(
+            f"cache_quant={cfg.cache_quant!r}: supported values are 'none' "
+            "and 'int8'")
+    if cfg.cache_quant != "none" and (
+            effective_pipeline(cfg) not in ("cached", "cached_asym")):
+        raise ValueError(
+            f"cache_quant={cfg.cache_quant!r} only applies to the cached "
+            "pipelines (there is no resident tap table to quantize in "
+            f"pipeline={effective_pipeline(cfg)!r})")
 
 
 def effective_pipeline(cfg: IISANConfig) -> str:

@@ -36,6 +36,9 @@ def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--epochs", type=int, default=3)
     ap.add_argument("--keep-caches", action="store_true")
+    ap.add_argument("--cache_quant", default="none", choices=["none", "int8"],
+                    help="int8: quantized device tables (ops/quant.py) — "
+                         "halves the tap tables' HBM residency")
     args = ap.parse_args()
 
     from iisan_tpu.utils.compile_cache import enable_compilation_cache
@@ -61,7 +64,7 @@ def main():
         image_embedding_dim=192, image_layers=12,
         side_adapter_vit_list="1,3,5,7,9,11",
         bert_adapter_down_size=64, cv_adapter_down_size=64,
-        modality="intra_inter")
+        modality="intra_inter", cache_quant=args.cache_quant)
 
     base = "/root/reference/Dataset/Scientific"
     titles, n2i, i2n = read_items(f"{base}/Industrial_and_Scientific_items.tsv")
@@ -140,9 +143,12 @@ def main():
         "cache_allocated_bytes": disk_alloc,
         "load_taps_seconds": load_s,
         "valid_hit10": hit, "valid_ndcg10": ndcg,
+        "cache_quant": args.cache_quant,
         "device": jax.devices()[0].device_kind,
     }
-    with open("VERSA_SCALE.json", "w") as f:
+    out_name = ("VERSA_SCALE.json" if args.cache_quant == "none"
+                else f"VERSA_SCALE_{args.cache_quant}.json")
+    with open(out_name, "w") as f:
         json.dump(out, f, indent=1)
     print(json.dumps(out, indent=1))
     if not args.keep_caches:

@@ -68,6 +68,34 @@ def test_dp_plus_tensor_sharded_tables():
     np.testing.assert_allclose(l1, l42, rtol=1e-4)
 
 
+@pytest.mark.skipif(len(jax.devices()) < 8, reason="needs 8 devices")
+def test_int8_tables_shard_and_match_single_device():
+    """cache_quant=int8 on a data x model mesh: the int8 rows take the
+    feature-dim table sharding, the (tiny) scales replicate, and the loss
+    trajectory matches the single-device int8 run."""
+    def build_q(mesh):
+        cfg = IISANConfig(
+            batch_size=16, epoch=1, embedding_dim=16,
+            side_adapter_vit_list="1,3", side_adapter_bert_list="1,3",
+            word_embedding_dim=24, image_embedding_dim=24,
+            compute_dtype="float32", eval_batch_size=16,
+            cache_quant="int8")
+        corpus = synthetic_corpus(n_users=64, item_num=50)
+        k = len(cfg.san_image_taps())
+        return CachedTrainer(cfg, corpus, synthetic_taps(50, k, 24, 1),
+                             synthetic_taps(50, k, 24, 2), mesh=mesh)
+
+    tr1 = build_q(make_mesh(devices=jax.devices()[:1]))
+    tr42 = build_q(make_mesh("data:4,model:2"))
+    assert tr42.cv_table.q.dtype == np.int8
+    assert tr42.cv_table.q.sharding.spec == \
+        jax.sharding.PartitionSpec(None, None, "model")
+    assert tr42.cv_table.scale.sharding.spec == jax.sharding.PartitionSpec()
+    l1 = [tr1.run_epoch(e) for e in (1, 2)]
+    l42 = [tr42.run_epoch(e) for e in (1, 2)]
+    np.testing.assert_allclose(l1, l42, rtol=1e-4)
+
+
 @pytest.mark.skipif(len(jax.devices()) < 2, reason="needs 2 devices")
 def test_model_only_mesh_replicates_batch():
     """A mesh with no 'data' axis (pure tensor sharding, e.g.
