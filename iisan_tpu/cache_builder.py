@@ -96,7 +96,8 @@ def build_text_cache(bert, params, token_table: np.ndarray, out_path: str,
         e = min(s + batch, n)
         toks = np.resize(token_table[s:e], (batch, token_table.shape[1]))
         states = _text_states(bert, params, jnp.asarray(toks), pool)
-        store.write_rows(s, np.asarray(states[: e - s]).astype(dtype))
+        # write_rows casts (or quantizes, dtype="int8") to the store dtype
+        store.write_rows(s, np.asarray(states[: e - s]))
         if (s // batch) % 20 == 0:
             log.info("text cache %d/%d", e, n)
     store.flush()
@@ -122,7 +123,7 @@ def build_image_cache(vit, params, item_names: Sequence[str], image_store,
     ]
     for (s, e), images in zip(spans, loader.iter_batches(name_batches)):
         states = _image_states(vit, params, jnp.asarray(images))
-        store.write_rows(s, np.asarray(states[: e - s]).astype(dtype))
+        store.write_rows(s, np.asarray(states[: e - s]))
         if (s // batch) % 20 == 0:
             log.info("image cache %d/%d", e, n)
     store.flush()
@@ -137,6 +138,10 @@ def verify_cache(store: HiddenStateCache, expect_layers: int,
     assert (m.n_layers, m.dim) == (expect_layers, expect_dim), \
         f"cache shape {(m.n_layers, m.dim)} != {(expect_layers, expect_dim)}"
     row = store.load_taps([0])
+    from .ops.quant import QuantTaps, dequantize
+
+    if isinstance(row, QuantTaps):
+        row = np.asarray(dequantize(row), dtype=np.float32)
     assert np.all(np.isfinite(row[:2]))
     log.info("cache ok: %d items x %d layers x %d dim",
              m.n_items, m.n_layers, m.dim)

@@ -30,6 +30,7 @@ import numpy as np
 
 META_NAME = "meta.json"
 DATA_NAME = "states.bin"
+SCALES_NAME = "scales.bin"  # int8 stores: fp32 (n_items, n_layers) sidecar
 
 
 @dataclass
@@ -37,6 +38,11 @@ class CacheMeta:
     n_items: int     # includes the padding row 0
     n_layers: int    # layers + 1 (embeddings first, HF hidden_states order)
     dim: int
+    # "float16"/"float32" store raw values; "int8" stores symmetric
+    # per-(item, layer)-row quantized values (ops/quant.py) plus a fp32
+    # scale sidecar - half the disk and host RAM of fp16, and load_taps
+    # then hands the trainer a ready QuantTaps (no fp32 transient at
+    # Versa's 25 GB geometry).
     dtype: str = "float16"
 
     def to_json(self):
@@ -56,6 +62,14 @@ class HiddenStateCache:
             mode=mode,
             shape=shape,
         )
+        self._scales = None
+        if meta.dtype == "int8":
+            self._scales = np.memmap(
+                os.path.join(path, SCALES_NAME),
+                dtype=np.float32,
+                mode=mode,
+                shape=(meta.n_items, meta.n_layers),
+            )
 
     # ------------------------------------------------------------------
     @classmethod
@@ -70,8 +84,10 @@ class HiddenStateCache:
         meta = CacheMeta(n_items, n_layers, dim, dtype)
         meta_path = os.path.join(path, META_NAME)
         if resume:
-            if not (os.path.exists(meta_path)
-                    and os.path.exists(os.path.join(path, DATA_NAME))):
+            need = [meta_path, os.path.join(path, DATA_NAME)]
+            if dtype == "int8":
+                need.append(os.path.join(path, SCALES_NAME))
+            if not all(os.path.exists(p) for p in need):
                 # Falling through to a fresh create would leave every row
                 # before start_item all-zero and train on zero features.
                 raise FileNotFoundError(
@@ -99,24 +115,51 @@ class HiddenStateCache:
 
     # ------------------------------------------------------------------
     def write_rows(self, start: int, states: np.ndarray):
-        """Write a contiguous chunk of per-item states (cache builder path)."""
-        self._arr[start:start + states.shape[0]] = states
+        """Write a contiguous chunk of per-item states (cache builder path).
+
+        Float stores cast on assignment; an "int8" store quantizes each
+        (item, layer) row here and records its scale in the sidecar, so
+        builders pass float states regardless of the storage dtype."""
+        end = start + states.shape[0]
+        if self._scales is not None:
+            from ..ops.quant import quantize_taps
+
+            t = quantize_taps(states)
+            self._arr[start:end] = t.q
+            self._scales[start:end] = t.scale[..., 0]
+            return
+        self._arr[start:end] = states
 
     def flush(self):
         self._arr.flush()
+        if self._scales is not None:
+            self._scales.flush()
 
-    def load_taps(self, layer_ids: Sequence[int],
-                  dtype: str = "float32") -> np.ndarray:
+    def load_taps(self, layer_ids: Sequence[int], dtype: str = "float32"):
         """Gather only the SAN-selected layers: (n_items, K, dim).
 
         For BERT-base this halves HBM residency vs the full 13 layers; for
         Llama-3-70B caches (81 layers, 7 selected) it is the difference
         between 26 GB and 2.3 GB on one chip.
+
+        Float stores return a dense ndarray; an "int8" store returns
+        QuantTaps (int8 rows + scales, 4x smaller than the fp32 array) -
+        CachedTrainer consumes either form.
         """
         idx = np.asarray(layer_ids)
+        if self._scales is not None:
+            from ..ops.quant import QuantTaps
+
+            q = np.ascontiguousarray(self._arr[:, idx, :])
+            s = np.ascontiguousarray(self._scales[:, idx])[..., None]
+            return QuantTaps(q, s, out_dtype=dtype)
         return np.ascontiguousarray(self._arr[:, idx, :]).astype(dtype)
 
     def load_full(self, dtype: str = "float32") -> np.ndarray:
+        if self._scales is not None:
+            return (np.asarray(self._arr, dtype=np.float32)
+                    * np.asarray(self._scales, dtype=np.float32)[..., None]
+                    ).astype(dtype)
         return np.asarray(self._arr).astype(dtype)
 
 

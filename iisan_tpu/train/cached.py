@@ -145,20 +145,30 @@ class CachedTrainer(TrainLoopMixin):
                 log.info("%s: %s", name, np.round(vals, 4).tolist())
 
     # ------------------------------------------------------------------
-    def _put_table(self, taps: np.ndarray, store_dt):
-        """Host tap table -> device residency per cfg.cache_quant."""
-        quant = getattr(self.cfg, "cache_quant", "none")
-        if quant == "int8":
-            from ..ops.quant import QuantTaps, quantize_taps
+    def _put_table(self, taps, store_dt):
+        """Host tap table -> device residency per cfg.cache_quant.
 
-            t = quantize_taps(taps, out_dtype=store_dt.name)
-            return QuantTaps(self._put(t.q, self._table_sh),
-                             self._put(t.scale, self._repl),
-                             out_dtype=t.out_dtype)
-        if quant != "none":
+        ``taps`` may already be QuantTaps (an int8 on-disk store's
+        load_taps output) - used as-is, dequantizing to the configured
+        compute dtype, whatever cache_quant says (the disk values are
+        already quantized; re-densifying would spend 4x host RAM for no
+        precision)."""
+        from ..ops.quant import QuantTaps, quantize_taps
+
+        quant = getattr(self.cfg, "cache_quant", "none")
+        if quant not in ("none", "int8"):
             raise ValueError(f"unsupported cache_quant={quant!r} "
                              "(expected 'none' or 'int8')")
-        return self._put(taps.astype(store_dt), self._table_sh)
+        if isinstance(taps, QuantTaps):
+            t = taps
+        elif quant == "int8":
+            t = quantize_taps(taps)
+        else:
+            return self._put(np.asarray(taps).astype(store_dt),
+                             self._table_sh)
+        return QuantTaps(self._put(t.q, self._table_sh),
+                         self._put(t.scale, self._repl),
+                         out_dtype=store_dt.name)
 
     # ------------------------------------------------------------------
     def _put(self, x, sharding):

@@ -49,7 +49,11 @@ def main():
     ap.add_argument("--resize", type=int, default=224)
     ap.add_argument("--max-seq-len", type=int, default=10)
     ap.add_argument("--min-seq-len", type=int, default=5)
-    ap.add_argument("--dtype", default="float16")
+    ap.add_argument("--dtype", default="float16",
+                    help="on-disk store dtype; 'int8' quantizes per "
+                         "(item, layer) row with a fp32 scale sidecar "
+                         "(half the disk/RAM of fp16; load_taps then "
+                         "feeds the trainer pre-quantized QuantTaps)")
     args = ap.parse_args()
 
     from transformers import AutoConfig, AutoModel, AutoTokenizer

@@ -43,6 +43,34 @@ def test_text_cache_matches_direct_forward(tmp_path):
     assert np.all(store.load_full()[0] == 0)
 
 
+def test_text_cache_int8_store(tmp_path):
+    """dtype='int8': the builder writes quantized rows + scales; the
+    dequantized store matches the direct forward within the per-row
+    quantization bound (ops/quant.py)."""
+    bert = BertEncoder(vocab_size=100, hidden_dim=16, num_layers=2,
+                       num_heads=2, intermediate_dim=32, max_position=16,
+                       dropout=0.0)
+    rng = np.random.default_rng(0)
+    n_items, nw = 10, 5
+    tokens = np.zeros((n_items, 2 * nw), np.int32)
+    tokens[1:, :nw] = rng.integers(1, 100, size=(n_items - 1, nw))
+    tokens[1:, nw:] = 1
+    params = bert.init(jax.random.PRNGKey(0), jnp.asarray(tokens[:1, :nw]),
+                       jnp.asarray(tokens[:1, nw:]))["params"]
+
+    store = build_text_cache(bert, params, tokens, str(tmp_path / "q"),
+                             batch=4, dtype="int8")
+    verify_cache(store, 3, 16)
+    _, hiddens = bert.apply({"params": params},
+                            jnp.asarray(tokens[3:4, :nw]),
+                            jnp.asarray(tokens[3:4, nw:]))
+    want = np.asarray(hiddens[:, 0, 0, :])  # (layers+1, D) CLS
+    got = store.load_full()[3]
+    bound = np.max(np.abs(want), axis=-1, keepdims=True) / 254 + 1e-6
+    assert np.all(np.abs(got - want) <= bound)
+    assert np.all(store.load_full()[0] == 0)
+
+
 def test_text_cache_mean_pooling(tmp_path):
     """Llama-style mean-over-tokens pooling
     (preprocess_llama-3-70b_micro.py:67-70)."""

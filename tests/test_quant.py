@@ -149,6 +149,73 @@ def test_memory_halves():
 
 
 # ---------------------------------------------------------------------------
+# int8 on-disk store (HiddenStateCache dtype="int8")
+# ---------------------------------------------------------------------------
+
+def test_int8_store_roundtrip(tmp_path, rng):
+    from iisan_tpu.data.cache_store import HiddenStateCache
+
+    x = rng.normal(size=(9, 5, 16)).astype(np.float32)  # rows 1..9
+    store = HiddenStateCache.create(str(tmp_path / "c"), 10, 5, 16, "int8")
+    store.write_rows(1, x)
+    store.flush()
+
+    re = HiddenStateCache.open(str(tmp_path / "c"))
+    assert re.meta.dtype == "int8"
+    taps = re.load_taps([0, 2, 4])
+    assert isinstance(taps, QuantTaps)
+    assert taps.q.shape == (10, 3, 16) and taps.q.dtype == np.int8
+    back = np.asarray(dequantize(taps), dtype=np.float32)
+    absmax = np.max(np.abs(x[:, [0, 2, 4]]), axis=-1, keepdims=True)
+    assert np.all(np.abs(back[1:] - x[:, [0, 2, 4]]) <= absmax / 254 + 1e-7)
+    assert np.all(back[0] == 0)  # pad row stays exactly zero
+    full = re.load_full()
+    assert np.all(np.abs(full[1:] - x) <=
+                  np.max(np.abs(x), -1, keepdims=True) / 254 + 1e-7)
+    # disk: int8 data + fp32 per-(item,layer) scales ~ half of fp16
+    import os
+
+    data = os.path.getsize(tmp_path / "c" / "states.bin")
+    scales = os.path.getsize(tmp_path / "c" / "scales.bin")
+    assert data == 10 * 5 * 16 and scales == 10 * 5 * 4
+
+
+def test_int8_store_resume_requires_scales(tmp_path):
+    from iisan_tpu.data.cache_store import HiddenStateCache
+
+    HiddenStateCache.create(str(tmp_path / "c"), 4, 2, 8, "int8")
+    (tmp_path / "c" / "scales.bin").unlink()
+    with pytest.raises(FileNotFoundError):
+        HiddenStateCache.create(str(tmp_path / "c"), 4, 2, 8, "int8",
+                                resume=True)
+
+
+def test_trainer_consumes_int8_store(tmp_path, corpus_and_taps):
+    """An int8 store's load_taps output feeds CachedTrainer directly and
+    reproduces the dense int8 path (same quantized values either way)."""
+    from iisan_tpu.data.cache_store import HiddenStateCache
+    from iisan_tpu.train.cached import CachedTrainer
+
+    corpus, cv, text = corpus_and_taps
+    stores = []
+    for name, arr in (("cv", cv), ("text", text)):
+        st = HiddenStateCache.create(str(tmp_path / name), arr.shape[0],
+                                     arr.shape[1], arr.shape[2], "int8")
+        st.write_rows(1, arr[1:])
+        st.flush()
+        stores.append(HiddenStateCache.open(str(tmp_path / name)))
+    taps_cv = stores[0].load_taps(range(cv.shape[1]))
+    taps_text = stores[1].load_taps(range(text.shape[1]))
+
+    a = CachedTrainer(_small_cfg(), corpus, taps_cv, taps_text)
+    assert isinstance(a.cv_table, QuantTaps)
+    b = CachedTrainer(_small_cfg(cache_quant="int8"), corpus, cv, text)
+    la = [a.run_epoch(e) for e in range(2)]
+    lb = [b.run_epoch(e) for e in range(2)]
+    np.testing.assert_allclose(la, lb, rtol=1e-6)
+
+
+# ---------------------------------------------------------------------------
 # flag validation
 # ---------------------------------------------------------------------------
 
