@@ -1,0 +1,152 @@
+"""Build hidden-state caches for a dataset: the preprocess_vectors.py /
+Versa-builders entry point.
+
+Covers the reference's cache-builder family (SURVEY.md section 2.1 #15/#16):
+  bert-base + vit-base (Code_Cached/preprocess_vectors.py)
+  bert-large / vit-large / vit-huge / vit-tiny (Code_Cached_Asym/preprocess_*)
+  Llama-style mean-pooled text states (preprocess_llama-3-70b_*.py) via
+  --pool mean
+
+Weights load from HuggingFace through torch (cpu) and are converted into
+the Flax towers; the forward passes then run jitted on TPU.
+
+    iisan-tpu-build-caches --dataset /root/reference/Dataset/Scientific \
+        --items Industrial_and_Scientific_items.tsv \
+        --behaviors am_Industrial_and_Scientific_users.tsv \
+        --text-model bert-base-uncased --image-model google/vit-base-patch16-224 \
+        --image-source ./images_dir --out ./stored_vectors_sci
+
+(also runnable as ``python scripts/build_caches.py`` from a checkout)
+"""
+
+import argparse
+import os
+
+
+def main(argv=None):
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--dataset", required=True)
+    ap.add_argument("--items", required=True)
+    ap.add_argument("--behaviors", required=True)
+    ap.add_argument("--text-model", default="bert-base-uncased")
+    ap.add_argument("--image-model", default="google/vit-base-patch16-224")
+    ap.add_argument("--text-arch", default="bert", choices=["bert", "llama"],
+                    help="llama = RMSNorm/rotary/SwiGLU decoder tower, the "
+                         "Llama-3-70B Versa path (mean-pooled, no mask - "
+                         "preprocess_llama-3-70b_micro.py)")
+    ap.add_argument("--image-arch", default="vit", choices=["vit", "clip"],
+                    help="clip = CLIP-family vision tower, the EVA Versa "
+                         "path (process_eva_clip_vectors.py)")
+    ap.add_argument("--image-source", default="",
+                    help="LMDB path or image directory; synthetic if empty")
+    ap.add_argument("--out", required=True)
+    ap.add_argument("--pool", default="cls", choices=["cls", "mean"],
+                    help="mean = Llama-style per-layer token mean "
+                         "(preprocess_llama-3-70b_micro.py:67-70)")
+    ap.add_argument("--batch", type=int, default=128)
+    ap.add_argument("--num-words-title", type=int, default=30)
+    ap.add_argument("--resize", type=int, default=224)
+    ap.add_argument("--max-seq-len", type=int, default=10)
+    ap.add_argument("--min-seq-len", type=int, default=5)
+    ap.add_argument("--dtype", default="float16",
+                    help="on-disk store dtype; 'int8' quantizes per "
+                         "(item, layer) row with a fp32 scale sidecar "
+                         "(half the disk/RAM of fp16; load_taps then "
+                         "feeds the trainer pre-quantized QuantTaps)")
+    args = ap.parse_args(argv)
+
+    from transformers import AutoConfig, AutoModel, AutoTokenizer
+
+    from iisan_tpu.cache_builder import (build_image_cache, build_text_cache,
+                                         verify_cache)
+    from iisan_tpu.data import preprocess as prep
+    from iisan_tpu.data.images import (DirImageStore, HAS_LMDB,
+                                       LmdbImageStore, SyntheticImageStore,
+                                       is_lmdb_path)
+    from iisan_tpu.models import bert as jbert
+    from iisan_tpu.models import vit as jvit
+    from iisan_tpu.utils.logging import setup_logger
+
+    setup_logger(os.path.join(args.out, "logs"), "cache_build")
+
+    titles, n2i, i2n = prep.read_items(os.path.join(args.dataset, args.items))
+    corpus = prep.read_behaviors(os.path.join(args.dataset, args.behaviors),
+                                 n2i, i2n, args.max_seq_len, args.min_seq_len)
+
+    # ---- text tower -------------------------------------------------
+    tok = AutoTokenizer.from_pretrained(args.text_model)
+    hf_cfg = AutoConfig.from_pretrained(args.text_model)
+    hf_text = AutoModel.from_pretrained(args.text_model)
+    if args.text_arch == "llama":
+        from iisan_tpu.models import llama as jllama
+
+        # Reference Llama builders: encode + manual 0-pad, all-ones mask,
+        # mean-pool over all tokens (preprocess_llama-3-70b_micro.py:58-70).
+        full_tokens = prep.tokenize_titles_llama(titles, tok,
+                                                 args.num_words_title)
+        text_enc = jllama.encoder_from_hf_config(hf_cfg)
+        text_params = jllama.params_from_hf_torch(
+            hf_text.state_dict(), num_layers=hf_cfg.num_hidden_layers,
+            prefix="")
+        pool, out_name = "mean", "llama_outputs.memmap"
+    else:
+        full_tokens = prep.tokenize_titles(titles, tok, args.num_words_title)
+        text_enc = jbert.BertEncoder(
+            vocab_size=hf_cfg.vocab_size, hidden_dim=hf_cfg.hidden_size,
+            num_layers=hf_cfg.num_hidden_layers,
+            num_heads=hf_cfg.num_attention_heads,
+            intermediate_dim=hf_cfg.intermediate_size,
+            max_position=hf_cfg.max_position_embeddings, dropout=0.0)
+        text_params = jbert.params_from_hf_torch(
+            hf_text.state_dict(), num_layers=hf_cfg.num_hidden_layers)
+        pool, out_name = args.pool, "bert_outputs.memmap"
+    tokens = prep.remap_token_table(full_tokens, corpus.item_names, n2i)
+    store = build_text_cache(text_enc, text_params, tokens,
+                             os.path.join(args.out, out_name),
+                             batch=args.batch, pool=pool,
+                             dtype=args.dtype)
+    verify_cache(store, hf_cfg.num_hidden_layers + 1, hf_cfg.hidden_size)
+
+    # ---- image tower ------------------------------------------------
+    hf_vcfg = AutoConfig.from_pretrained(args.image_model)
+    hf_vit = AutoModel.from_pretrained(args.image_model)
+    if args.image_arch == "clip":
+        from iisan_tpu.models import clip_vit as jclip
+
+        vcfg = getattr(hf_vcfg, "vision_config", hf_vcfg)
+        vit = jclip.encoder_from_hf_config(vcfg)
+        vit_params = jclip.params_from_hf_torch(
+            hf_vit.state_dict(), num_layers=vcfg.num_hidden_layers)
+        hf_vcfg = vcfg
+    else:
+        vit = jvit.ViTEncoder(
+            image_size=args.resize, patch_size=hf_vcfg.patch_size,
+            hidden_dim=hf_vcfg.hidden_size,
+            num_layers=hf_vcfg.num_hidden_layers,
+            num_heads=hf_vcfg.num_attention_heads,
+            intermediate_dim=hf_vcfg.intermediate_size)
+        vit_params = jvit.params_from_hf_torch(
+            hf_vit.state_dict(), num_layers=hf_vcfg.num_hidden_layers,
+            prefix="")
+
+    # LMDB sources: a data file, or the directory form (data.mdb inside);
+    # only a plain directory of JPEGs routes to DirImageStore
+    if is_lmdb_path(args.image_source) and HAS_LMDB:
+        img_store = LmdbImageStore(args.image_source, args.resize)
+    elif args.image_source and os.path.isdir(args.image_source):
+        img_store = DirImageStore(args.image_source, args.resize)
+    else:
+        print("WARNING: no image source - writing synthetic image states")
+        img_store = SyntheticImageStore(args.resize)
+    img_out = "clip_outputs.memmap" if args.image_arch == "clip" \
+        else "vit_outputs.memmap"
+    store = build_image_cache(vit, vit_params, corpus.item_names, img_store,
+                              os.path.join(args.out, img_out),
+                              resize=args.resize, batch=args.batch,
+                              dtype=args.dtype)
+    verify_cache(store, hf_vcfg.num_hidden_layers + 1, hf_vcfg.hidden_size)
+    print("caches written to", args.out)
+
+
+if __name__ == "__main__":
+    main()

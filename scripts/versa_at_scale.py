@@ -39,6 +39,12 @@ def main():
     ap.add_argument("--cache_quant", default="none", choices=["none", "int8"],
                     help="int8: quantized device tables (ops/quant.py) — "
                          "halves the tap tables' HBM residency")
+    ap.add_argument("--store_dtype", default="float16",
+                    choices=["float16", "int8"],
+                    help="on-disk store dtype; int8 halves disk AND the "
+                         "load_taps host transient (QuantTaps flows "
+                         "straight to the trainer, implying int8 device "
+                         "tables whatever --cache_quant says)")
     args = ap.parse_args()
 
     from iisan_tpu.utils.compile_cache import enable_compilation_cache
@@ -81,18 +87,28 @@ def main():
     # others, and this keeps the fixture at ~2.3 GB instead of 25 GB.
     t0 = time.time()
     rng = np.random.default_rng(0)
+
+    def write_tap_rows(store, rows, dim):
+        """Fill only the tap rows (keeps the memmap sparse on disk)."""
+        for row in rows:
+            vals = rng.standard_normal((n - 1, dim)).astype(np.float32)
+            if store.meta.dtype == "int8":
+                from iisan_tpu.ops.quant import quantize_taps
+                t = quantize_taps(vals[:, None, :])
+                store._arr[1:, row, :] = t.q[:, 0]
+                store._scales[1:, row] = t.scale[:, 0, 0]
+            else:
+                store._arr[1:, row, :] = vals.astype(store._arr.dtype)
+        store.flush()
+
     text_store = HiddenStateCache.create(
-        os.path.join(CACHE_DIR, "llama70b.memmap"), n, 81, 8192, "float16")
-    for row in text_taps_ids:
-        text_store._arr[1:, row, :] = rng.standard_normal(
-            (n - 1, 8192)).astype(np.float16)
-    text_store.flush()
+        os.path.join(CACHE_DIR, "llama70b.memmap"), n, 81, 8192,
+        args.store_dtype)
+    write_tap_rows(text_store, text_taps_ids, 8192)
     cv_store = HiddenStateCache.create(
-        os.path.join(CACHE_DIR, "vit_tiny.memmap"), n, 13, 192, "float16")
-    for row in cv_taps_ids:
-        cv_store._arr[1:, row, :] = rng.standard_normal(
-            (n - 1, 192)).astype(np.float16)
-    cv_store.flush()
+        os.path.join(CACHE_DIR, "vit_tiny.memmap"), n, 13, 192,
+        args.store_dtype)
+    write_tap_rows(cv_store, cv_taps_ids, 192)
     build_s = time.time() - t0
     # Apparent vs allocated: only the tap rows are written, so the memmap
     # files are sparse — st_blocks*512 is the true disk usage, getsize the
@@ -106,7 +122,7 @@ def main():
           flush=True)
 
     t0 = time.time()
-    text_taps = text_store.load_taps(text_taps_ids)   # (n, 7, 8192) fp32
+    text_taps = text_store.load_taps(text_taps_ids)   # fp32 or QuantTaps
     cv_taps = cv_store.load_taps(cv_taps_ids)
     load_s = time.time() - t0
     print(f"load_taps: text {text_taps.shape} cv {cv_taps.shape} "
@@ -133,8 +149,9 @@ def main():
     steps = tr.epoch_permutation(0).shape[0]
     hit, ndcg = tr.evaluate_split("valid")
     out = {
-        "config": "Llama-3-70B text (81x8192 fp16, taps 4,19,34,49,64,79) "
-                  "x ViT-tiny image (13x192), Scientific behaviors, bs 64",
+        "config": f"Llama-3-70B text (81x8192 {args.store_dtype}, taps "
+                  "4,19,34,49,64,79) x ViT-tiny image (13x192), "
+                  "Scientific behaviors, bs 64",
         "epoch_seconds": float(np.median(times)),
         "step_ms": float(np.median(times)) / steps * 1e3,
         "steps_per_epoch": steps,
@@ -144,10 +161,11 @@ def main():
         "load_taps_seconds": load_s,
         "valid_hit10": hit, "valid_ndcg10": ndcg,
         "cache_quant": args.cache_quant,
+        "store_dtype": args.store_dtype,
         "device": jax.devices()[0].device_kind,
     }
-    out_name = ("VERSA_SCALE.json" if args.cache_quant == "none"
-                else f"VERSA_SCALE_{args.cache_quant}.json")
+    int8_run = args.cache_quant == "int8" or args.store_dtype == "int8"
+    out_name = "VERSA_SCALE_int8.json" if int8_run else "VERSA_SCALE.json"
     with open(out_name, "w") as f:
         json.dump(out, f, indent=1)
     print(json.dumps(out, indent=1))

@@ -193,13 +193,9 @@ def test_build_caches_cli_versa_end_to_end(tmp_path, monkeypatch):
         "--out", str(out), "--batch", "8", "--num-words-title", "12",
         "--resize", "32", "--dtype", "float32",
     ])
-    import importlib.util
+    from iisan_tpu.tools.build_caches import main as build_caches_main
 
-    spec = importlib.util.spec_from_file_location(
-        "build_caches", "scripts/build_caches.py")
-    mod = importlib.util.module_from_spec(spec)
-    spec.loader.exec_module(mod)
-    mod.main()
+    build_caches_main()
 
     from iisan_tpu.data.cache_store import HiddenStateCache
 
