@@ -79,10 +79,22 @@ def _image_states(vit, params, images_u8):
     return hiddens[:, :, 0, :].transpose(1, 0, 2)
 
 
+def _make_store(out_path, n, n_layers, dim, dtype, start_item, end_item):
+    """Create/open per the build mode: fresh, start_item resume, or a
+    sharded range (end_item set -> concurrent-safe create_or_open; each
+    shard writes only its disjoint [start_item, end_item) rows)."""
+    if end_item is not None:
+        return HiddenStateCache.create_or_open(out_path, n, n_layers, dim,
+                                               dtype)
+    return HiddenStateCache.create(out_path, n, n_layers, dim, dtype,
+                                   resume=start_item > 1)
+
+
 def build_text_cache(bert, params, token_table: np.ndarray, out_path: str,
                      batch: int = 128, pool: str = "cls",
                      dtype: str = "float16",
-                     start_item: int = 1) -> HiddenStateCache:
+                     start_item: int = 1,
+                     end_item: int | None = None) -> HiddenStateCache:
     """token_table: (item_num+1, 2*num_words); row 0 = padding (zeros)."""
     n = token_table.shape[0]
     # shape-only trace: learns (layers+1, D) without compiling or running
@@ -90,16 +102,17 @@ def build_text_cache(bert, params, token_table: np.ndarray, out_path: str,
     probe = jax.eval_shape(lambda p, t: _text_states(bert, p, t, pool),
                            params, token_table[:1])
     n_layers, dim = probe.shape[1], probe.shape[2]
-    store = HiddenStateCache.create(out_path, n, n_layers, dim, dtype,
-                                    resume=start_item > 1)
-    for s in range(start_item, n, batch):
-        e = min(s + batch, n)
+    store = _make_store(out_path, n, n_layers, dim, dtype,
+                        start_item, end_item)
+    stop = n if end_item is None else min(end_item, n)
+    for s in range(start_item, stop, batch):
+        e = min(s + batch, stop)
         toks = np.resize(token_table[s:e], (batch, token_table.shape[1]))
         states = _text_states(bert, params, jnp.asarray(toks), pool)
         # write_rows casts (or quantizes, dtype="int8") to the store dtype
         store.write_rows(s, np.asarray(states[: e - s]))
         if (s // batch) % 20 == 0:
-            log.info("text cache %d/%d", e, n)
+            log.info("text cache %d/%d", e, stop)
     store.flush()
     return store
 
@@ -107,16 +120,18 @@ def build_text_cache(bert, params, token_table: np.ndarray, out_path: str,
 def build_image_cache(vit, params, item_names: Sequence[str], image_store,
                       out_path: str, resize: int = 224, batch: int = 128,
                       dtype: str = "float16",
-                      start_item: int = 1) -> HiddenStateCache:
+                      start_item: int = 1,
+                      end_item: int | None = None) -> HiddenStateCache:
     n = len(item_names)
     probe = jax.eval_shape(
         lambda p, im: _image_states(vit, p, im), params,
         jax.ShapeDtypeStruct((1, resize, resize, 3), jnp.uint8))
     n_layers, dim = probe.shape[1], probe.shape[2]
-    store = HiddenStateCache.create(out_path, n, n_layers, dim, dtype,
-                                    resume=start_item > 1)
+    store = _make_store(out_path, n, n_layers, dim, dtype,
+                        start_item, end_item)
     loader = ParallelImageLoader(image_store)
-    spans = [(s, min(s + batch, n)) for s in range(start_item, n, batch)]
+    stop = n if end_item is None else min(end_item, n)
+    spans = [(s, min(s + batch, stop)) for s in range(start_item, stop, batch)]
     name_batches = [
         [item_names[i] for i in np.resize(np.arange(s, e), batch)]
         for s, e in spans
@@ -131,9 +146,10 @@ def build_image_cache(vit, params, item_names: Sequence[str], image_store,
 
 
 def verify_cache(store: HiddenStateCache, expect_layers: int,
-                 expect_dim: int) -> None:
+                 expect_dim: int, first_row: int = 0) -> None:
     """Shape smoke check - the ``test()`` of every reference builder
-    (preprocess_vectors.py:153-161)."""
+    (preprocess_vectors.py:153-161).  ``first_row``: first row this
+    process actually built (sharded builds check their own range)."""
     m = store.meta
     assert (m.n_layers, m.dim) == (expect_layers, expect_dim), \
         f"cache shape {(m.n_layers, m.dim)} != {(expect_layers, expect_dim)}"
@@ -142,6 +158,6 @@ def verify_cache(store: HiddenStateCache, expect_layers: int,
 
     if isinstance(row, QuantTaps):
         row = np.asarray(dequantize(row), dtype=np.float32)
-    assert np.all(np.isfinite(row[:2]))
+    assert np.all(np.isfinite(row[first_row:first_row + 2]))
     log.info("cache ok: %d items x %d layers x %d dim",
              m.n_items, m.n_layers, m.dim)

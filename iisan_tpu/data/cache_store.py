@@ -108,6 +108,63 @@ class HiddenStateCache:
         return store
 
     @classmethod
+    def create_or_open(cls, path: str, n_items: int, n_layers: int,
+                       dim: int, dtype: str = "float16") -> "HiddenStateCache":
+        """Atomic create-else-open-writable: the sharded-build path.
+
+        N builder processes (one per host/shard, disjoint row ranges,
+        shared filesystem) all call this; exactly one wins the O_EXCL
+        meta-file race and sizes the files, the rest geometry-check and
+        reopen 'r+'.  Disjoint row writes into one memmap never overlap
+        byte ranges, so no further coordination is needed."""
+        os.makedirs(path, exist_ok=True)
+        meta = CacheMeta(n_items, n_layers, dim, dtype)
+        meta_path = os.path.join(path, META_NAME)
+        try:
+            fd = os.open(meta_path, os.O_CREAT | os.O_EXCL | os.O_WRONLY)
+        except FileExistsError:
+            with open(meta_path) as f:
+                raw = f.read()
+            if not raw:  # lost the race mid-write: tiny window, spin once
+                import time
+
+                time.sleep(0.2)
+                with open(meta_path) as f:
+                    raw = f.read()
+            existing = CacheMeta(**json.loads(raw))
+            if existing != meta:
+                raise ValueError(
+                    f"cannot shard-build into {path}: existing geometry "
+                    f"{existing} != requested {meta}")
+            # wait (bounded) for the winner to size the data files - 'r+'
+            # memmaps require the full length up front
+            import time
+
+            need = [(os.path.join(path, DATA_NAME),
+                     n_items * n_layers * dim * np.dtype(meta.dtype).itemsize)]
+            if meta.dtype == "int8":
+                need.append((os.path.join(path, SCALES_NAME),
+                             n_items * n_layers * 4))
+            for p, size in need:
+                for _ in range(150):  # <=30 s
+                    try:
+                        if os.path.getsize(p) >= size:
+                            break
+                    except OSError:
+                        pass
+                    time.sleep(0.2)
+                else:
+                    raise FileNotFoundError(
+                        f"shard-build: {p} never reached {size} bytes "
+                        "(creator shard died?)")
+            return cls(path, meta, mode="r+")
+        with os.fdopen(fd, "w") as f:
+            f.write(meta.to_json())
+        store = cls(path, meta, mode="w+")
+        store._arr[0] = 0  # padding item is all-zeros (dataset.py:277-280)
+        return store
+
+    @classmethod
     def open(cls, path: str) -> "HiddenStateCache":
         with open(os.path.join(path, META_NAME)) as f:
             meta = CacheMeta(**json.loads(f.read()))

@@ -53,7 +53,17 @@ def main(argv=None):
                          "(item, layer) row with a fp32 scale sidecar "
                          "(half the disk/RAM of fp16; load_taps then "
                          "feeds the trainer pre-quantized QuantTaps)")
+    ap.add_argument("--num-shards", type=int, default=1,
+                    help="split the catalog into N contiguous row ranges; "
+                         "run one process per shard (any hosts sharing the "
+                         "output filesystem), all writing the same store - "
+                         "row ranges are disjoint so no coordination is "
+                         "needed beyond the store's atomic create")
+    ap.add_argument("--shard-id", type=int, default=0)
     args = ap.parse_args(argv)
+    if not (0 <= args.shard_id < args.num_shards):
+        ap.error(f"--shard-id {args.shard_id} out of range for "
+                 f"--num-shards {args.num_shards}")
 
     from transformers import AutoConfig, AutoModel, AutoTokenizer
 
@@ -72,6 +82,15 @@ def main(argv=None):
     titles, n2i, i2n = prep.read_items(os.path.join(args.dataset, args.items))
     corpus = prep.read_behaviors(os.path.join(args.dataset, args.behaviors),
                                  n2i, i2n, args.max_seq_len, args.min_seq_len)
+
+    def shard_range(n_rows):
+        """This shard's [lo, hi) over the item rows [1, n_rows)."""
+        if args.num_shards == 1:
+            return 1, None
+        per = -(-(n_rows - 1) // args.num_shards)  # ceil over rows 1..n-1
+        lo = 1 + args.shard_id * per
+        hi = min(1 + (args.shard_id + 1) * per, n_rows)
+        return lo, hi
 
     # ---- text tower -------------------------------------------------
     tok = AutoTokenizer.from_pretrained(args.text_model)
@@ -101,11 +120,13 @@ def main(argv=None):
             hf_text.state_dict(), num_layers=hf_cfg.num_hidden_layers)
         pool, out_name = args.pool, "bert_outputs.memmap"
     tokens = prep.remap_token_table(full_tokens, corpus.item_names, n2i)
+    lo, hi = shard_range(tokens.shape[0])
     store = build_text_cache(text_enc, text_params, tokens,
                              os.path.join(args.out, out_name),
                              batch=args.batch, pool=pool,
-                             dtype=args.dtype)
-    verify_cache(store, hf_cfg.num_hidden_layers + 1, hf_cfg.hidden_size)
+                             dtype=args.dtype, start_item=lo, end_item=hi)
+    verify_cache(store, hf_cfg.num_hidden_layers + 1, hf_cfg.hidden_size,
+                 first_row=lo)
 
     # ---- image tower ------------------------------------------------
     hf_vcfg = AutoConfig.from_pretrained(args.image_model)
@@ -140,11 +161,13 @@ def main(argv=None):
         img_store = SyntheticImageStore(args.resize)
     img_out = "clip_outputs.memmap" if args.image_arch == "clip" \
         else "vit_outputs.memmap"
+    lo, hi = shard_range(len(corpus.item_names))
     store = build_image_cache(vit, vit_params, corpus.item_names, img_store,
                               os.path.join(args.out, img_out),
                               resize=args.resize, batch=args.batch,
-                              dtype=args.dtype)
-    verify_cache(store, hf_vcfg.num_hidden_layers + 1, hf_vcfg.hidden_size)
+                              dtype=args.dtype, start_item=lo, end_item=hi)
+    verify_cache(store, hf_vcfg.num_hidden_layers + 1, hf_vcfg.hidden_size,
+                 first_row=lo)
     print("caches written to", args.out)
 
 

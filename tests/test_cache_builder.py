@@ -43,6 +43,84 @@ def test_text_cache_matches_direct_forward(tmp_path):
     assert np.all(store.load_full()[0] == 0)
 
 
+def _tiny_bert_and_tokens(n_items=11, nw=5, seed=0):
+    bert = BertEncoder(vocab_size=100, hidden_dim=16, num_layers=2,
+                       num_heads=2, intermediate_dim=32, max_position=16,
+                       dropout=0.0)
+    rng = np.random.default_rng(seed)
+    tokens = np.zeros((n_items, 2 * nw), np.int32)
+    tokens[1:, :nw] = rng.integers(1, 100, size=(n_items - 1, nw))
+    tokens[1:, nw:] = 1
+    params = bert.init(jax.random.PRNGKey(0), jnp.asarray(tokens[:1, :nw]),
+                       jnp.asarray(tokens[:1, nw:]))["params"]
+    return bert, params, tokens
+
+
+def test_sharded_text_build_matches_single(tmp_path):
+    """Three shard processes writing disjoint [lo, hi) ranges into one
+    store reproduce the single-process build exactly (incl. the int8
+    scale sidecar); create_or_open arbitrates the store creation."""
+    bert, params, tokens = _tiny_bert_and_tokens()
+    n = tokens.shape[0]
+    for dtype in ("float32", "int8"):
+        single = build_text_cache(bert, params, tokens,
+                                  str(tmp_path / f"single_{dtype}"),
+                                  batch=3, dtype=dtype)
+        per = -(-(n - 1) // 3)
+        for shard in range(3):
+            lo = 1 + shard * per
+            hi = min(1 + (shard + 1) * per, n)
+            st = build_text_cache(bert, params, tokens,
+                                  str(tmp_path / f"sharded_{dtype}"),
+                                  batch=3, dtype=dtype,
+                                  start_item=lo, end_item=hi)
+            verify_cache(st, 3, 16, first_row=lo)
+        sharded = HiddenStateCache.open(str(tmp_path / f"sharded_{dtype}"))
+        np.testing.assert_array_equal(np.asarray(sharded._arr),
+                                      np.asarray(single._arr))
+        if dtype == "int8":
+            np.testing.assert_array_equal(np.asarray(sharded._scales),
+                                          np.asarray(single._scales))
+
+
+def test_create_or_open_geometry_mismatch(tmp_path):
+    import pytest
+
+    HiddenStateCache.create_or_open(str(tmp_path / "c"), 8, 3, 16)
+    # matching geometry reopens writable; the data is preserved
+    st = HiddenStateCache.create_or_open(str(tmp_path / "c"), 8, 3, 16)
+    st.write_rows(2, np.ones((1, 3, 16), np.float32))
+    st.flush()
+    assert np.all(HiddenStateCache.open(str(tmp_path / "c")).load_full()[2]
+                  == 1)
+    with pytest.raises(ValueError):
+        HiddenStateCache.create_or_open(str(tmp_path / "c"), 8, 3, 32)
+
+
+def test_create_or_open_concurrent(tmp_path):
+    """Two threads race create_or_open; exactly one creates, both write
+    their rows, nothing is lost."""
+    import threading
+
+    errs = []
+
+    def worker(row):
+        try:
+            st = HiddenStateCache.create_or_open(str(tmp_path / "c"),
+                                                 6, 2, 8)
+            st.write_rows(row, np.full((1, 2, 8), row, np.float32))
+            st.flush()
+        except Exception as e:  # pragma: no cover
+            errs.append(e)
+
+    ts = [threading.Thread(target=worker, args=(r,)) for r in (1, 4)]
+    [t.start() for t in ts]
+    [t.join() for t in ts]
+    assert not errs
+    full = HiddenStateCache.open(str(tmp_path / "c")).load_full()
+    assert np.all(full[1] == 1) and np.all(full[4] == 4)
+
+
 def test_text_cache_int8_store(tmp_path):
     """dtype='int8': the builder writes quantized rows + scales; the
     dequantized store matches the direct forward within the per-row
