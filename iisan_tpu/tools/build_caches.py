@@ -23,6 +23,22 @@ import argparse
 import os
 
 
+def shard_range(n_rows: int, shard_id: int, num_shards: int):
+    """This shard's [lo, hi) slice of the item rows [1, n_rows).
+
+    Row 0 is the padding item (always zeros, created with the store), so
+    shards split rows 1..n_rows-1 into contiguous ceil-sized ranges; the
+    last shard(s) may be short or empty when num_shards > n_rows-1.
+    ``hi=None`` (the unsharded case) means "to the end, plain resume
+    semantics"."""
+    if num_shards == 1:
+        return 1, None
+    per = -(-(n_rows - 1) // num_shards)
+    lo = min(1 + shard_id * per, n_rows)
+    hi = min(1 + (shard_id + 1) * per, n_rows)
+    return lo, hi
+
+
 def main(argv=None):
     ap = argparse.ArgumentParser()
     ap.add_argument("--dataset", required=True)
@@ -83,14 +99,8 @@ def main(argv=None):
     corpus = prep.read_behaviors(os.path.join(args.dataset, args.behaviors),
                                  n2i, i2n, args.max_seq_len, args.min_seq_len)
 
-    def shard_range(n_rows):
-        """This shard's [lo, hi) over the item rows [1, n_rows)."""
-        if args.num_shards == 1:
-            return 1, None
-        per = -(-(n_rows - 1) // args.num_shards)  # ceil over rows 1..n-1
-        lo = 1 + args.shard_id * per
-        hi = min(1 + (args.shard_id + 1) * per, n_rows)
-        return lo, hi
+    def my_range(n_rows):
+        return shard_range(n_rows, args.shard_id, args.num_shards)
 
     # ---- text tower -------------------------------------------------
     tok = AutoTokenizer.from_pretrained(args.text_model)
@@ -120,7 +130,7 @@ def main(argv=None):
             hf_text.state_dict(), num_layers=hf_cfg.num_hidden_layers)
         pool, out_name = args.pool, "bert_outputs.memmap"
     tokens = prep.remap_token_table(full_tokens, corpus.item_names, n2i)
-    lo, hi = shard_range(tokens.shape[0])
+    lo, hi = my_range(tokens.shape[0])
     store = build_text_cache(text_enc, text_params, tokens,
                              os.path.join(args.out, out_name),
                              batch=args.batch, pool=pool,
@@ -161,7 +171,7 @@ def main(argv=None):
         img_store = SyntheticImageStore(args.resize)
     img_out = "clip_outputs.memmap" if args.image_arch == "clip" \
         else "vit_outputs.memmap"
-    lo, hi = shard_range(len(corpus.item_names))
+    lo, hi = my_range(len(corpus.item_names))
     store = build_image_cache(vit, vit_params, corpus.item_names, img_store,
                               os.path.join(args.out, img_out),
                               resize=args.resize, batch=args.batch,

@@ -83,6 +83,21 @@ def test_sharded_text_build_matches_single(tmp_path):
                                           np.asarray(single._scales))
 
 
+def test_shard_range_partitions_rows():
+    """Every row 1..n-1 is covered exactly once, for even and uneven
+    splits and for more shards than rows."""
+    from iisan_tpu.tools.build_caches import shard_range
+
+    assert shard_range(100, 0, 1) == (1, None)
+    for n_rows, num_shards in [(101, 4), (10, 3), (5, 8), (2, 2)]:
+        seen = []
+        for s in range(num_shards):
+            lo, hi = shard_range(n_rows, s, num_shards)
+            assert 1 <= lo <= hi <= n_rows
+            seen.extend(range(lo, hi))
+        assert seen == list(range(1, n_rows))
+
+
 def test_create_or_open_geometry_mismatch(tmp_path):
     import pytest
 
