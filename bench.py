@@ -125,25 +125,36 @@ def supervise(cmd=None) -> int:
     poll_s = float(os.environ.get("IISAN_BENCH_POLL", "5"))
     cmd = cmd or [sys.executable, os.path.abspath(__file__), "--inner"]
     for attempt in range(1, attempts + 1):
-        child = subprocess.Popen(
-            cmd, stdout=subprocess.PIPE, stderr=sys.stderr, text=True)
-        t0 = time.time()
-        last_ticks, last_change = _cpu_ticks(child.pid), time.time()
-        reason = None
-        while child.poll() is None:
-            time.sleep(poll_s)
-            ticks = _cpu_ticks(child.pid)
-            if ticks is not None and ticks != last_ticks:
-                last_ticks, last_change = ticks, time.time()
-            if time.time() - last_change > stall_cap:
-                reason = f"no CPU progress for {stall_cap:.0f}s (tunnel hang)"
-            elif time.time() - t0 > wall_cap:
-                reason = f"wall cap {wall_cap:.0f}s exceeded"
-            if reason:
-                child.kill()
-                child.wait()
-                break
-        out = child.stdout.read() if child.stdout else ""
+        # child stdout goes to a temp file, not a pipe: nobody drains a
+        # pipe during the run, and a chatty child blocking on a full pipe
+        # buffer at 0% CPU would look exactly like a tunnel hang
+        import tempfile
+
+        with tempfile.TemporaryFile(mode="w+") as out_f:
+            child = subprocess.Popen(
+                cmd, stdout=out_f, stderr=sys.stderr, text=True)
+            t0 = time.time()
+            last_ticks, last_change = _cpu_ticks(child.pid), time.time()
+            reason = None
+            while child.poll() is None:
+                time.sleep(poll_s)
+                ticks = _cpu_ticks(child.pid)
+                if ticks is None or ticks != last_ticks:
+                    # unreadable ticks (no /proc) counts as progress:
+                    # better to rely on the wall cap than to stall-kill
+                    # healthy children on such platforms
+                    last_ticks, last_change = ticks, time.time()
+                if time.time() - last_change > stall_cap:
+                    reason = (f"no CPU progress for {stall_cap:.0f}s "
+                              "(tunnel hang)")
+                elif time.time() - t0 > wall_cap:
+                    reason = f"wall cap {wall_cap:.0f}s exceeded"
+                if reason:
+                    child.kill()
+                    child.wait()
+                    break
+            out_f.seek(0)
+            out = out_f.read()
         if child.returncode == 0:
             line = next((ln for ln in reversed(out.splitlines())
                          if ln.startswith("{")), None)

@@ -140,7 +140,7 @@ def build_image_cache(vit, params, item_names: Sequence[str], image_store,
         states = _image_states(vit, params, jnp.asarray(images))
         store.write_rows(s, np.asarray(states[: e - s]))
         if (s // batch) % 20 == 0:
-            log.info("image cache %d/%d", e, n)
+            log.info("image cache %d/%d", e, stop)
     store.flush()
     return store
 
@@ -157,7 +157,15 @@ def verify_cache(store: HiddenStateCache, expect_layers: int,
     from .ops.quant import QuantTaps, dequantize
 
     if isinstance(row, QuantTaps):
+        # slice the checked rows BEFORE dequantizing - a full-catalog
+        # dequantize materializes (n_items, 1, dim) fp32 just to look at
+        # two rows
+        row = QuantTaps(row.q[first_row:first_row + 2],
+                        row.scale[first_row:first_row + 2],
+                        out_dtype=row.out_dtype)
         row = np.asarray(dequantize(row), dtype=np.float32)
-    assert np.all(np.isfinite(row[first_row:first_row + 2]))
+        assert np.all(np.isfinite(row))
+    else:
+        assert np.all(np.isfinite(row[first_row:first_row + 2]))
     log.info("cache ok: %d items x %d layers x %d dim",
              m.n_items, m.n_layers, m.dim)

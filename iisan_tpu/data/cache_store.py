@@ -112,25 +112,41 @@ class HiddenStateCache:
                        dim: int, dtype: str = "float16") -> "HiddenStateCache":
         """Atomic create-else-open-writable: the sharded-build path.
 
-        N builder processes (one per host/shard, disjoint row ranges,
-        shared filesystem) all call this; exactly one wins the O_EXCL
-        meta-file race and sizes the files, the rest geometry-check and
-        reopen 'r+'.  Disjoint row writes into one memmap never overlap
-        byte ranges, so no further coordination is needed."""
+        N builder processes (one per shard, disjoint row ranges) all call
+        this; exactly one wins the O_EXCL meta-file race and sizes the
+        files, the rest geometry-check and reopen 'r+'.
+
+        SAME-HOST ONLY for a shared store: disjoint row writes never
+        overlap byte ranges, but mmap writeback is page-granular, so the
+        processes must share one page cache (one host).  Two *hosts*
+        flushing the same file over NFS would each write back whole
+        boundary pages from their own cache, clobbering the neighbor
+        shard's rows in that page.  Multi-host builds use per-shard
+        stores + merge_shard_stores (CLI --shard-files /
+        --finalize-shards) instead."""
         os.makedirs(path, exist_ok=True)
         meta = CacheMeta(n_items, n_layers, dim, dtype)
         meta_path = os.path.join(path, META_NAME)
         try:
             fd = os.open(meta_path, os.O_CREAT | os.O_EXCL | os.O_WRONLY)
         except FileExistsError:
-            with open(meta_path) as f:
-                raw = f.read()
-            if not raw:  # lost the race mid-write: tiny window, spin once
-                import time
+            import time
 
-                time.sleep(0.2)
+            # lost the race: the winner may still be mid-write (or, on
+            # NFS with attribute caching, the write may take seconds to
+            # become visible) - retry reading for up to 30 s
+            raw = ""
+            for _ in range(150):
                 with open(meta_path) as f:
                     raw = f.read()
+                if raw:
+                    break
+                time.sleep(0.2)
+            if not raw:
+                raise RuntimeError(
+                    f"shard-build: {meta_path} exists but stayed empty for "
+                    "30 s - the creator shard likely died mid-create; "
+                    f"delete {path} and rerun the shards")
             existing = CacheMeta(**json.loads(raw))
             if existing != meta:
                 raise ValueError(
@@ -138,8 +154,6 @@ class HiddenStateCache:
                     f"{existing} != requested {meta}")
             # wait (bounded) for the winner to size the data files - 'r+'
             # memmaps require the full length up front
-            import time
-
             need = [(os.path.join(path, DATA_NAME),
                      n_items * n_layers * dim * np.dtype(meta.dtype).itemsize)]
             if meta.dtype == "int8":
@@ -155,8 +169,10 @@ class HiddenStateCache:
                     time.sleep(0.2)
                 else:
                     raise FileNotFoundError(
-                        f"shard-build: {p} never reached {size} bytes "
-                        "(creator shard died?)")
+                        f"shard-build: {p} never reached {size} bytes - the "
+                        "creator shard likely died before sizing the files; "
+                        f"delete {path} (at least {META_NAME}) and rerun "
+                        "the shards")
             return cls(path, meta, mode="r+")
         with os.fdopen(fd, "w") as f:
             f.write(meta.to_json())
@@ -170,7 +186,6 @@ class HiddenStateCache:
             meta = CacheMeta(**json.loads(f.read()))
         return cls(path, meta)
 
-    # ------------------------------------------------------------------
     def write_rows(self, start: int, states: np.ndarray):
         """Write a contiguous chunk of per-item states (cache builder path).
 
@@ -220,6 +235,76 @@ class HiddenStateCache:
         return np.asarray(self._arr).astype(dtype)
 
 
+RANGE_NAME = "range.json"  # shard stores: {"lo": int, "hi": int}
+
+
+def write_shard_range(path: str, lo: int, hi: int) -> None:
+    with open(os.path.join(path, RANGE_NAME), "w") as f:
+        json.dump({"lo": lo, "hi": hi}, f)
+
+
+def merge_shard_stores(out_path: str, remove_shards: bool = True,
+                       chunk: int = 4096) -> "HiddenStateCache":
+    """Merge ``{out_path}.shard*`` per-shard stores into one final store.
+
+    The multi-host sharded-build finalizer: each shard wrote its own
+    full-geometry (sparse) store plus a range.json, so no two processes
+    ever touched one file and mmap page-writeback coherence never comes
+    into play (see create_or_open).  Run once, on any host, after all
+    shards finish."""
+    import glob
+    import shutil
+
+    shard_dirs = sorted(glob.glob(out_path.rstrip("/\\") + ".shard*"))
+    if not shard_dirs:
+        raise FileNotFoundError(f"no shard stores match {out_path}.shard*")
+    metas, ranges = [], []
+    for d in shard_dirs:
+        with open(os.path.join(d, META_NAME)) as f:
+            metas.append(CacheMeta(**json.loads(f.read())))
+        with open(os.path.join(d, RANGE_NAME)) as f:
+            r = json.loads(f.read())
+        ranges.append((r["lo"], r["hi"]))
+    if any(m != metas[0] for m in metas):
+        raise ValueError(f"shard stores disagree on geometry: {metas}")
+    ordered = sorted(zip(ranges, shard_dirs))
+    expect = 1
+    for (lo, hi), _ in ordered:
+        if lo != expect:
+            raise ValueError(
+                f"shard ranges do not tile rows 1..{metas[0].n_items - 1}: "
+                f"expected next range to start at {expect}, got {lo} "
+                f"(ranges: {sorted(ranges)}) - is a shard still "
+                "running/missing?")
+        expect = hi
+    if expect != metas[0].n_items:
+        raise ValueError(
+            f"shard ranges stop at {expect}, not {metas[0].n_items} "
+            f"(ranges: {sorted(ranges)}) - is the last shard missing?")
+
+    m = metas[0]
+    staging = out_path.rstrip("/\\") + ".merging"
+    final = HiddenStateCache.create(staging, m.n_items, m.n_layers, m.dim,
+                                    m.dtype)
+    for (lo, hi), d in ordered:
+        src = HiddenStateCache(d, m, mode="r")
+        for s in range(lo, hi, chunk):
+            e = min(s + chunk, hi)
+            final._arr[s:e] = src._arr[s:e]
+            if final._scales is not None:
+                final._scales[s:e] = src._scales[s:e]
+        del src
+    final.flush()
+    del final
+    if os.path.isdir(out_path):
+        shutil.rmtree(out_path)
+    os.rename(staging, out_path)
+    if remove_shards:
+        for d in shard_dirs:
+            shutil.rmtree(d)
+    return HiddenStateCache.open(out_path)
+
+
 def import_reference_pt_dir(
     pt_dir: str,
     prefix: str,
@@ -262,7 +347,10 @@ def import_reference_pt_dir(
                 f"(item {i}/{len(item_names) - 1}); finish the reference "
                 "build (its skip-existing resume fills gaps) and re-import")
         t = torch.load(p, map_location="cpu")
-        store.write_rows(i, t.numpy().astype(dtype)[None])
+        # hand float rows to write_rows: float stores cast on assignment,
+        # int8 stores quantize there (a pre-.astype('int8') would integer-
+        # truncate the mostly-in-[-1,1] states to zeros)
+        store.write_rows(i, t.numpy().astype(np.float32)[None])
     store.flush()
     del store
     if os.path.isdir(out_path):

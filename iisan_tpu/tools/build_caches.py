@@ -41,9 +41,9 @@ def shard_range(n_rows: int, shard_id: int, num_shards: int):
 
 def main(argv=None):
     ap = argparse.ArgumentParser()
-    ap.add_argument("--dataset", required=True)
-    ap.add_argument("--items", required=True)
-    ap.add_argument("--behaviors", required=True)
+    ap.add_argument("--dataset")
+    ap.add_argument("--items")
+    ap.add_argument("--behaviors")
     ap.add_argument("--text-model", default="bert-base-uncased")
     ap.add_argument("--image-model", default="google/vit-base-patch16-224")
     ap.add_argument("--text-arch", default="bert", choices=["bert", "llama"],
@@ -70,16 +70,45 @@ def main(argv=None):
                          "(half the disk/RAM of fp16; load_taps then "
                          "feeds the trainer pre-quantized QuantTaps)")
     ap.add_argument("--num-shards", type=int, default=1,
-                    help="split the catalog into N contiguous row ranges; "
-                         "run one process per shard (any hosts sharing the "
-                         "output filesystem), all writing the same store - "
-                         "row ranges are disjoint so no coordination is "
-                         "needed beyond the store's atomic create")
+                    help="split the catalog into N contiguous row ranges, "
+                         "one builder process per shard. Same-host "
+                         "processes share one store directly (atomic "
+                         "create, disjoint rows); processes on DIFFERENT "
+                         "hosts must add --shard-files (mmap page "
+                         "writeback from two hosts' page caches would "
+                         "clobber shard-boundary pages in a shared file)")
     ap.add_argument("--shard-id", type=int, default=0)
+    ap.add_argument("--shard-files", action="store_true",
+                    help="write this shard's rows into its own "
+                         "<store>.shard<i> directory (multi-host safe); "
+                         "run --finalize-shards once afterwards to merge")
+    ap.add_argument("--finalize-shards", action="store_true",
+                    help="merge all <store>.shard* directories under "
+                         "--out into final stores and delete them "
+                         "(run once, after every shard finished)")
     args = ap.parse_args(argv)
     if not (0 <= args.shard_id < args.num_shards):
         ap.error(f"--shard-id {args.shard_id} out of range for "
                  f"--num-shards {args.num_shards}")
+
+    if args.finalize_shards:
+        import glob
+
+        from iisan_tpu.data.cache_store import merge_shard_stores
+
+        bases = sorted({p.rsplit(".shard", 1)[0]
+                        for p in glob.glob(os.path.join(args.out, "*.shard*"))
+                        if os.path.isdir(p)})
+        if not bases:
+            ap.error(f"--finalize-shards: no *.shard* stores under {args.out}")
+        for base in bases:
+            st = merge_shard_stores(base)
+            print(f"merged {base}: {st.meta.n_items} items x "
+                  f"{st.meta.n_layers} layers x {st.meta.dim} dim")
+        return
+    for flag in ("dataset", "items", "behaviors"):
+        if getattr(args, flag) is None:
+            ap.error(f"--{flag} is required (unless --finalize-shards)")
 
     from transformers import AutoConfig, AutoModel, AutoTokenizer
 
@@ -101,6 +130,14 @@ def main(argv=None):
 
     def my_range(n_rows):
         return shard_range(n_rows, args.shard_id, args.num_shards)
+
+    def shard_dest(base_path, n_rows, lo, hi):
+        """(store path, range to record) for this build: shard-files mode
+        writes an own .shard<i> store plus its range.json."""
+        if not args.shard_files:
+            return base_path, None
+        return (base_path + f".shard{args.shard_id}",
+                (lo, n_rows if hi is None else hi))
 
     # ---- text tower -------------------------------------------------
     tok = AutoTokenizer.from_pretrained(args.text_model)
@@ -131,12 +168,17 @@ def main(argv=None):
         pool, out_name = args.pool, "bert_outputs.memmap"
     tokens = prep.remap_token_table(full_tokens, corpus.item_names, n2i)
     lo, hi = my_range(tokens.shape[0])
-    store = build_text_cache(text_enc, text_params, tokens,
-                             os.path.join(args.out, out_name),
+    text_path, rng = shard_dest(os.path.join(args.out, out_name),
+                                tokens.shape[0], lo, hi)
+    store = build_text_cache(text_enc, text_params, tokens, text_path,
                              batch=args.batch, pool=pool,
                              dtype=args.dtype, start_item=lo, end_item=hi)
     verify_cache(store, hf_cfg.num_hidden_layers + 1, hf_cfg.hidden_size,
                  first_row=lo)
+    if rng:
+        from iisan_tpu.data.cache_store import write_shard_range
+
+        write_shard_range(text_path, *rng)
 
     # ---- image tower ------------------------------------------------
     hf_vcfg = AutoConfig.from_pretrained(args.image_model)
@@ -172,12 +214,18 @@ def main(argv=None):
     img_out = "clip_outputs.memmap" if args.image_arch == "clip" \
         else "vit_outputs.memmap"
     lo, hi = my_range(len(corpus.item_names))
+    img_path, rng = shard_dest(os.path.join(args.out, img_out),
+                               len(corpus.item_names), lo, hi)
     store = build_image_cache(vit, vit_params, corpus.item_names, img_store,
-                              os.path.join(args.out, img_out),
+                              img_path,
                               resize=args.resize, batch=args.batch,
                               dtype=args.dtype, start_item=lo, end_item=hi)
     verify_cache(store, hf_vcfg.num_hidden_layers + 1, hf_vcfg.hidden_size,
                  first_row=lo)
+    if rng:
+        from iisan_tpu.data.cache_store import write_shard_range
+
+        write_shard_range(img_path, *rng)
     print("caches written to", args.out)
 
 

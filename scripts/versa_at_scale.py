@@ -164,8 +164,14 @@ def main():
         "store_dtype": args.store_dtype,
         "device": jax.devices()[0].device_kind,
     }
-    int8_run = args.cache_quant == "int8" or args.store_dtype == "int8"
-    out_name = "VERSA_SCALE_int8.json" if int8_run else "VERSA_SCALE.json"
+    # distinct configs -> distinct artifacts (device-side quantization of
+    # an fp16 store vs a pre-quantized int8 store measure different paths)
+    if args.store_dtype == "int8":
+        out_name = "VERSA_SCALE_int8store.json"
+    elif args.cache_quant == "int8":
+        out_name = "VERSA_SCALE_int8.json"
+    else:
+        out_name = "VERSA_SCALE.json"
     with open(out_name, "w") as f:
         json.dump(out, f, indent=1)
     print(json.dumps(out, indent=1))

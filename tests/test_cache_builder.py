@@ -136,20 +136,60 @@ def test_create_or_open_concurrent(tmp_path):
     assert np.all(full[1] == 1) and np.all(full[4] == 4)
 
 
+def test_shard_files_merge_matches_single(tmp_path):
+    """Multi-host mode: per-shard stores + merge_shard_stores reproduce
+    the single-process build exactly (no shared-file writes at all)."""
+    from iisan_tpu.data.cache_store import (merge_shard_stores,
+                                            write_shard_range)
+    from iisan_tpu.tools.build_caches import shard_range
+
+    bert, params, tokens = _tiny_bert_and_tokens()
+    n = tokens.shape[0]
+    for dtype in ("float16", "int8"):
+        single = build_text_cache(bert, params, tokens,
+                                  str(tmp_path / f"single_{dtype}"),
+                                  batch=4, dtype=dtype)
+        base = str(tmp_path / f"m_{dtype}" / "text.memmap")
+        for shard in range(3):
+            lo, hi = shard_range(n, shard, 3)
+            p = base + f".shard{shard}"
+            build_text_cache(bert, params, tokens, p, batch=4,
+                             dtype=dtype, start_item=lo, end_item=hi)
+            write_shard_range(p, lo, hi)
+        merged = merge_shard_stores(base)
+        np.testing.assert_array_equal(np.asarray(merged._arr),
+                                      np.asarray(single._arr))
+        if dtype == "int8":
+            np.testing.assert_array_equal(np.asarray(merged._scales),
+                                          np.asarray(single._scales))
+        # shard dirs are removed after a successful merge
+        import glob
+
+        assert glob.glob(base + ".shard*") == []
+
+
+def test_merge_shard_stores_rejects_gaps(tmp_path):
+    import pytest
+
+    from iisan_tpu.data.cache_store import (HiddenStateCache,
+                                            merge_shard_stores,
+                                            write_shard_range)
+
+    base = str(tmp_path / "c")
+    for shard, (lo, hi) in enumerate([(1, 4), (6, 10)]):  # row 4..5 gap
+        p = base + f".shard{shard}"
+        HiddenStateCache.create(p, 10, 2, 8)
+        write_shard_range(p, lo, hi)
+    with pytest.raises(ValueError, match="do not tile"):
+        merge_shard_stores(base)
+
+
 def test_text_cache_int8_store(tmp_path):
     """dtype='int8': the builder writes quantized rows + scales; the
     dequantized store matches the direct forward within the per-row
     quantization bound (ops/quant.py)."""
-    bert = BertEncoder(vocab_size=100, hidden_dim=16, num_layers=2,
-                       num_heads=2, intermediate_dim=32, max_position=16,
-                       dropout=0.0)
-    rng = np.random.default_rng(0)
-    n_items, nw = 10, 5
-    tokens = np.zeros((n_items, 2 * nw), np.int32)
-    tokens[1:, :nw] = rng.integers(1, 100, size=(n_items - 1, nw))
-    tokens[1:, nw:] = 1
-    params = bert.init(jax.random.PRNGKey(0), jnp.asarray(tokens[:1, :nw]),
-                       jnp.asarray(tokens[:1, nw:]))["params"]
+    bert, params, tokens = _tiny_bert_and_tokens(n_items=10)
+    nw = 5
 
     store = build_text_cache(bert, params, tokens, str(tmp_path / "q"),
                              batch=4, dtype="int8")
