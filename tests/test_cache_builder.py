@@ -168,6 +168,30 @@ def test_shard_files_merge_matches_single(tmp_path):
         assert glob.glob(base + ".shard*") == []
 
 
+def test_cli_finalize_shards(tmp_path):
+    """iisan-tpu-build-caches --finalize-shards merges every *.shard*
+    store under --out and errors cleanly when there are none."""
+    import pytest
+
+    from iisan_tpu.data.cache_store import (HiddenStateCache,
+                                            write_shard_range)
+    from iisan_tpu.tools.build_caches import main
+
+    base = str(tmp_path / "bert_outputs.memmap")
+    for shard, (lo, hi) in enumerate([(1, 5), (5, 10)]):
+        p = base + f".shard{shard}"
+        st = HiddenStateCache.create(p, 10, 2, 8)
+        st.write_rows(lo, np.full((hi - lo, 2, 8), shard + 1, np.float32))
+        st.flush()
+        write_shard_range(p, lo, hi)
+    main(["--out", str(tmp_path), "--finalize-shards"])
+    full = HiddenStateCache.open(base).load_full()
+    assert np.all(full[1:5] == 1) and np.all(full[5:10] == 2)
+    assert np.all(full[0] == 0)
+    with pytest.raises(SystemExit):
+        main(["--out", str(tmp_path / "empty"), "--finalize-shards"])
+
+
 def test_merge_shard_stores_rejects_gaps(tmp_path):
     import pytest
 
