@@ -15,9 +15,14 @@ the TPU can hang a JAX client indefinitely (0% CPU futex/sleep wait
 during remote compile/transfer - see docs/ROUND2_NOTES.md), so the
 parent watches the child's CPU ticks and wall clock, kills a stalled
 attempt, and retries (the persistent XLA compile cache makes retries
-cheap).  Tunables: IISAN_BENCH_ATTEMPTS (default 3),
-IISAN_BENCH_TIMEOUT (wall cap per attempt, s, default 1500),
-IISAN_BENCH_STALL (zero-CPU window treated as hung, s, default 360).
+cheap).  The stall detector is RATE-based: a hung client still trickles
+1-2 scheduler ticks a minute, so "any tick resets the timer" never
+fires — instead an attempt dies when it gains fewer than
+IISAN_BENCH_MIN_TICKS (default 10 = 100 ms CPU) over an
+IISAN_BENCH_STALL window (default 360 s; healthy compile/transfer
+phases burn orders of magnitude more).  Other tunables:
+IISAN_BENCH_ATTEMPTS (default 3), IISAN_BENCH_TIMEOUT (wall cap per
+attempt, s, default 1500), IISAN_BENCH_POLL (s, default 5).
 """
 
 import json
@@ -130,24 +135,28 @@ def supervise(cmd=None) -> int:
         # buffer at 0% CPU would look exactly like a tunnel hang
         import tempfile
 
+        min_ticks = int(os.environ.get("IISAN_BENCH_MIN_TICKS", "10"))
         with tempfile.TemporaryFile(mode="w+") as out_f:
             child = subprocess.Popen(
                 cmd, stdout=out_f, stderr=sys.stderr, text=True)
             t0 = time.time()
-            last_ticks, last_change = _cpu_ticks(child.pid), time.time()
+            win_ticks, win_start = _cpu_ticks(child.pid), time.time()
             reason = None
             while child.poll() is None:
                 time.sleep(poll_s)
                 ticks = _cpu_ticks(child.pid)
-                if ticks is None or ticks != last_ticks:
+                if ticks is None or win_ticks is None:
                     # unreadable ticks (no /proc) counts as progress:
                     # better to rely on the wall cap than to stall-kill
                     # healthy children on such platforms
-                    last_ticks, last_change = ticks, time.time()
-                if time.time() - last_change > stall_cap:
-                    reason = (f"no CPU progress for {stall_cap:.0f}s "
-                              "(tunnel hang)")
-                elif time.time() - t0 > wall_cap:
+                    win_ticks, win_start = ticks, time.time()
+                elif time.time() - win_start >= stall_cap:
+                    gained = ticks - win_ticks
+                    if gained < min_ticks:
+                        reason = (f"only {gained} CPU ticks in "
+                                  f"{stall_cap:.0f}s (tunnel hang)")
+                    win_ticks, win_start = ticks, time.time()
+                if not reason and time.time() - t0 > wall_cap:
                     reason = f"wall cap {wall_cap:.0f}s exceeded"
                 if reason:
                     child.kill()
