@@ -174,6 +174,27 @@ def _make_jpeg_dir(tmp_path, names):
     return str(items_tsv), str(image_dir), pixels
 
 
+def test_build_lmdb_cli(tmp_path, capsys):
+    """iisan-tpu-build-lmdb end-to-end: builds a readable DB and writes
+    the bad-file report (Dataset/build_lmdb.py:84-86 parity)."""
+    from iisan_tpu.data.images import LmdbImageStore
+    from iisan_tpu.tools.build_lmdb import main
+
+    names = ["B0001", "B0002"]
+    items_tsv, image_dir, _ = _make_jpeg_dir(tmp_path, names)
+    # one item with no JPEG -> lands in the bad-file report
+    with open(items_tsv, "a") as f:
+        f.write("B_MISSING\tTitle of missing\n")
+    db = str(tmp_path / "img.lmdb")
+    report = str(tmp_path / "bad.tsv")
+    main(["--items", items_tsv, "--images", image_dir, "--out", db,
+          "--bad-report", report])
+    assert "1 bad files" in capsys.readouterr().out
+    assert open(report).read().strip() == "B_MISSING"
+    store = LmdbImageStore(db, resize=16)
+    assert store.get("B0001").shape == (16, 16, 3)
+
+
 def test_build_lmdb_roundtrip(tmp_path):
     """build_lmdb -> LmdbImageStore round-trip: pixels survive (modulo
     JPEG), __keys__/__len__ metadata present (build_lmdb.py:75-78)."""
