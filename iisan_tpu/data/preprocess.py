@@ -42,6 +42,29 @@ def read_items(path: str) -> Tuple[Dict[int, str], Dict[str, int], Dict[int, str
     return item_id_to_title, item_name_to_id, item_id_to_name
 
 
+def items_from_behaviors(path: str):
+    """Item registry synthesized from a behaviors TSV (first-seen order),
+    for datasets shipped without their items TSV (Office in the reference
+    snapshot: .MISSING_LARGE_BLOBS).  Equivalent for any pipeline that
+    needs no titles (ID, cached with prebuilt caches, the accuracy
+    proxy): read_behaviors re-densifies to interacted items regardless
+    (preprocess.py:58-66), so catalog items absent from behaviors never
+    survive the ETL anyway.  Titles come back empty."""
+    item_id_to_name = {}
+    item_name_to_id = {}
+    item_id_to_title = {}
+    idx = 1
+    with open(path, "r") as f:
+        for line in f:
+            for name in line.rstrip("\n").split("\t")[1].split(" "):
+                if name and name not in item_name_to_id:
+                    item_name_to_id[name] = idx
+                    item_id_to_name[idx] = name
+                    item_id_to_title[idx] = ""
+                    idx += 1
+    return item_id_to_title, item_name_to_id, item_id_to_name
+
+
 @dataclass
 class Corpus:
     """Everything the trainer/eval need, as dense arrays."""

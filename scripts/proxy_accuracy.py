@@ -89,7 +89,18 @@ def load_dataset(name, cfg):
 
     d = DATASETS[name]
     base = os.path.join("/root/reference", d["dataset"])
-    titles, n2i, i2n = read_items(os.path.join(base, d["news"]))
+    items_path = os.path.join(base, d["news"])
+    if os.path.exists(items_path):
+        titles, n2i, i2n = read_items(items_path)
+    else:
+        # Office ships behaviors only (.MISSING_LARGE_BLOBS); the proxy
+        # needs no titles (SVD co-occurrence features), so synthesize the
+        # registry from behaviors - the ETL densifies to interacted items
+        # either way
+        from iisan_tpu.data.preprocess import items_from_behaviors
+
+        titles, n2i, i2n = items_from_behaviors(
+            os.path.join(base, d["behaviors"]))
     corpus = read_behaviors(os.path.join(base, d["behaviors"]), n2i, i2n,
                             cfg.max_seq_len, cfg.min_seq_len)
     return corpus

@@ -85,3 +85,28 @@ def test_reference_datasets_etl(name, items, users, n_users, n_items):
     assert c.valid_target.min() >= 1 and c.valid_target.max() <= n_items
     assert c.pop_prob.shape == (n_items + 1,)
     assert np.isclose(c.pop_prob[1:].sum(), 1.0, atol=1e-5)
+
+
+def test_items_from_behaviors_office():
+    """Behaviors-only item registry (Office ships no items TSV): dense
+    1-based first-seen ids, titles empty; the ETL densifies identically
+    to a registry that carried extra never-interacted catalog rows."""
+    from iisan_tpu.data.preprocess import items_from_behaviors
+
+    import io, os, tempfile
+
+    tsv = "u1\tA B C\nu2\tB D\n"
+    with tempfile.NamedTemporaryFile("w", suffix=".tsv", delete=False) as f:
+        f.write(tsv)
+        p = f.name
+    titles, n2i, i2n = items_from_behaviors(p)
+    os.unlink(p)
+    assert n2i == {"A": 1, "B": 2, "C": 3, "D": 4}
+    assert i2n[2] == "B" and titles[1] == ""
+
+    office = "/root/reference/Dataset/Office/am_Office_Products_users_10K.tsv"
+    if not os.path.exists(office):
+        pytest.skip("Office behaviors not shipped")
+    titles, n2i, i2n = items_from_behaviors(office)
+    c = read_behaviors(office, n2i, i2n, 10, 5)
+    assert c.n_users == 10000 and c.item_num == 22785
