@@ -44,11 +44,22 @@ def load_corpus(cfg: IISANConfig) -> Tuple[prep.Corpus, Optional[np.ndarray]]:
     """ETL: items + behaviors (+ tokenized titles when needed)."""
     items_path = os.path.join(cfg.root_data_dir, cfg.dataset, cfg.news)
     behaviors_path = os.path.join(cfg.root_data_dir, cfg.dataset, cfg.behaviors)
-    titles, name_to_id, id_to_name = prep.read_items(items_path)
+    needs_titles = cfg.pipeline in ("uncached", "fft") and \
+        cfg.item_tower != "id"
+    if os.path.exists(items_path) or needs_titles:
+        titles, name_to_id, id_to_name = prep.read_items(items_path)
+    else:
+        # items TSV absent (Office in the reference snapshot) but this
+        # pipeline needs no titles: synthesize the registry from
+        # behaviors - the ETL densifies to interacted items either way
+        log.warning("items TSV %s missing - registry from behaviors "
+                    "(title-free pipeline)", items_path)
+        titles, name_to_id, id_to_name = prep.items_from_behaviors(
+            behaviors_path)
     corpus = prep.read_behaviors(behaviors_path, name_to_id, id_to_name,
                                  cfg.max_seq_len, cfg.min_seq_len)
     token_table = None
-    if cfg.pipeline in ("uncached", "fft") and cfg.item_tower != "id":
+    if needs_titles:
         tok = load_tokenizer(cfg)
         attrs = cfg.active_text_attributes()
         if attrs == ("title",):

@@ -143,6 +143,28 @@ def test_id_pipeline_from_config(tiny_dataset):
     assert res.epochs_run >= 1
 
 
+def test_id_pipeline_without_items_tsv(tiny_dataset, tmp_path):
+    """Office-shape dataset (behaviors only, .MISSING_LARGE_BLOBS): the
+    title-free ID pipeline synthesizes its item registry from behaviors;
+    a titles-needing pipeline still fails loudly on the missing TSV."""
+    import shutil
+
+    import pytest
+
+    from iisan_tpu.train.pipelines import run_from_config
+
+    ds = tmp_path / "behaviors_only"
+    ds.mkdir()
+    shutil.copy(tiny_dataset / "users.tsv", ds / "users.tsv")
+
+    cfg = base_cfg(ds, pipeline="id")
+    trainer, res = run_from_config(cfg)
+    assert res.epochs_run >= 1 and np.isfinite(res.losses).all()
+
+    with pytest.raises(FileNotFoundError):
+        run_from_config(base_cfg(ds, pipeline="uncached"))
+
+
 def test_sweep_dry_run(tiny_dataset):
     from iisan_tpu.sweep import expand_grid, run_sweep
 
