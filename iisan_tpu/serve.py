@@ -18,6 +18,11 @@ Command line (artifact produced by ``save()`` or the trainer's
 
     python -m iisan_tpu.serve artifact.npz --input seqs.tsv \
         --out recs.tsv [--k 10] [--batch 256] [--include-history]
+
+Online mode (threaded HTTP, bucketed shapes, one dispatch per request):
+
+    python -m iisan_tpu.serve artifact.npz --http 0.0.0.0:8000
+    curl -X POST :8000/recommend -d '{"sequences": [[5, 17, 102]], "k": 10}'
 """
 
 from __future__ import annotations
@@ -163,6 +168,101 @@ class Recommender:
         return np.asarray(ids), np.asarray(scores)
 
 
+def _bucket(n: int, cap: int) -> int:
+    """Next power of two >= n, capped: requests share a handful of jitted
+    shapes instead of compiling the full-catalog graph per geometry."""
+    b = 1
+    while b < min(n, cap):
+        b *= 2
+    return min(b, cap)
+
+
+def serve_http(rec: Recommender, host: str, port: int,
+               max_batch: int = 256):
+    """Online serving: a threaded HTTP server over one Recommender.
+
+    POST /recommend  {"sequences": [[item ids...], ...], "k": 10,
+                      "exclude_history": true}
+        -> {"items": [[...], ...], "scores": [[...], ...]}
+    GET  /healthz    -> {"status": "ok", "catalog_items": N, ...}
+
+    Batch and history widths are bucketed to powers of two so concurrent
+    traffic reuses a handful of compiled shapes; the device dispatch is
+    serialized with a lock (one chip).  Returns the server object —
+    call ``serve_forever()`` (the CLI does).
+    """
+    import json as _json
+    import logging
+    import threading
+    from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
+
+    log = logging.getLogger("iisan_tpu")
+    lock = threading.Lock()
+    n_items = int(rec.fused_table.shape[0]) - 1
+
+    class Handler(BaseHTTPRequestHandler):
+        def _send(self, code: int, payload: dict):
+            body = _json.dumps(payload).encode()
+            self.send_response(code)
+            self.send_header("Content-Type", "application/json")
+            self.send_header("Content-Length", str(len(body)))
+            self.end_headers()
+            self.wfile.write(body)
+
+        def do_GET(self):
+            if self.path == "/healthz":
+                self._send(200, {"status": "ok", "catalog_items": n_items,
+                                 "max_seq_len": rec.max_seq_len})
+            else:
+                self._send(404, {"error": f"unknown path {self.path}"})
+
+        def do_POST(self):
+            if self.path != "/recommend":
+                self._send(404, {"error": f"unknown path {self.path}"})
+                return
+            try:
+                length = int(self.headers.get("Content-Length", "0"))
+                req = _json.loads(self.rfile.read(length) or b"{}")
+                seqs = req["sequences"]
+                k = int(req.get("k", 10))
+                exclude = bool(req.get("exclude_history", True))
+                if (not isinstance(seqs, list) or not seqs
+                        or not all(isinstance(s, list) and s for s in seqs)):
+                    raise ValueError(
+                        "sequences must be a non-empty list of non-empty "
+                        "item-id lists")
+                if len(seqs) > max_batch:
+                    raise ValueError(f"batch {len(seqs)} > max {max_batch}")
+                for s in seqs:
+                    bad = [i for i in s if not (isinstance(i, int)
+                                                and 0 < i <= n_items)]
+                    if bad:
+                        raise ValueError(f"item id(s) {bad[:5]} out of "
+                                         f"range 1..{n_items}")
+                if not 0 < k <= n_items:
+                    raise ValueError(f"k must be in 1..{n_items}")
+            except (KeyError, ValueError, TypeError) as e:
+                self._send(400, {"error": str(e)})
+                return
+            n = len(seqs)
+            b = _bucket(n, max_batch)
+            hist = _bucket(max(len(s) for s in seqs), 1 << 20)
+            padded = seqs + [[1]] * (b - n)
+            with lock:  # one chip: serialize device dispatches
+                ids, scores = rec.top_k(padded, k=k,
+                                        exclude_history=exclude,
+                                        hist_len=hist)
+            self._send(200, {"items": ids[:n].tolist(),
+                             "scores": scores[:n].tolist()})
+
+        def log_message(self, fmt, *args):  # route to the package logger
+            log.info("http %s", fmt % args)
+
+    server = ThreadingHTTPServer((host, port), Handler)
+    log.info("serving on %s:%d (catalog %d items)", host, port, n_items)
+    return server
+
+
 def main(argv=None) -> int:
     """Batch-serving CLI over a ``save()`` artifact."""
     import argparse
@@ -171,17 +271,33 @@ def main(argv=None) -> int:
         description="top-K recommendations from a serving artifact")
     ap.add_argument("artifact", help=".npz from Recommender.save / "
                     "--export_recommender")
-    ap.add_argument("--input", required=True,
+    ap.add_argument("--input",
                     help="TSV: user_id\\tspace-separated item ids")
-    ap.add_argument("--out", required=True,
+    ap.add_argument("--out",
                     help="output TSV: user_id\\ttop-k ids\\tscores")
     ap.add_argument("--k", type=int, default=10)
     ap.add_argument("--batch", type=int, default=256)
     ap.add_argument("--include-history", action="store_true",
                     help="allow recommending items already in the history")
+    ap.add_argument("--http", metavar="HOST:PORT",
+                    help="serve online over HTTP instead of batch-file "
+                         "mode (POST /recommend, GET /healthz)")
     args = ap.parse_args(argv)
 
     rec = Recommender.load(args.artifact)
+    if args.http:
+        host, _, port = args.http.rpartition(":")
+        server = serve_http(rec, host or "127.0.0.1", int(port),
+                            max_batch=args.batch)
+        print(f"serving {args.artifact} on http://{host or '127.0.0.1'}:"
+              f"{port} (POST /recommend)", flush=True)
+        try:
+            server.serve_forever()
+        except KeyboardInterrupt:
+            pass
+        return 0
+    if not (args.input and args.out):
+        ap.error("--input and --out are required (or use --http)")
     users, seqs = [], []
     with open(args.input) as f:
         for line in f:

@@ -231,3 +231,59 @@ def test_serve_cli_empty_input(tmp_path):
     assert serve.main([artifact, "--input", str(inp),
                        "--out", str(out)]) == 0
     assert out.read_text() == ""
+
+
+def test_http_serving(tmp_path):
+    """Online HTTP mode: responses match direct top_k; bad requests get
+    400s with a reason; /healthz reports the catalog."""
+    import json
+    import threading
+    import urllib.error
+    import urllib.request
+
+    from iisan_tpu.serve import serve_http
+
+    tr = make_trainer()
+    rec = Recommender.from_trainer(tr)
+    server = serve_http(rec, "127.0.0.1", 0, max_batch=8)
+    port = server.server_address[1]
+    t = threading.Thread(target=server.serve_forever, daemon=True)
+    t.start()
+    base = f"http://127.0.0.1:{port}"
+
+    def post(payload, path="/recommend"):
+        req = urllib.request.Request(
+            base + path, data=json.dumps(payload).encode(),
+            headers={"Content-Type": "application/json"})
+        with urllib.request.urlopen(req) as r:
+            return json.loads(r.read())
+
+    try:
+        with urllib.request.urlopen(base + "/healthz") as r:
+            health = json.loads(r.read())
+        assert health["status"] == "ok" and health["catalog_items"] == 40
+
+        seqs = [[1, 5, 9], [2, 2, 7, 12, 3]]
+        out = post({"sequences": seqs, "k": 5})
+        want_ids, want_scores = rec.top_k(
+            seqs + [[1]] * 2, k=5, hist_len=8)  # bucket: batch 4, hist 8
+        assert out["items"] == want_ids[:2].tolist()
+        np.testing.assert_allclose(out["scores"], want_scores[:2],
+                                   rtol=1e-6)
+
+        for bad in ({"sequences": []}, {"sequences": [[]]},
+                    {"sequences": [[999]]}, {"sequences": [[1]], "k": 0},
+                    {}):
+            try:
+                post(bad)
+                assert False, f"expected 400 for {bad}"
+            except urllib.error.HTTPError as e:
+                assert e.code == 400
+                assert "error" in json.loads(e.read())
+        try:
+            post({"sequences": [[1]]}, path="/nope")
+            assert False, "expected 404"
+        except urllib.error.HTTPError as e:
+            assert e.code == 404
+    finally:
+        server.shutdown()
