@@ -287,3 +287,54 @@ def test_http_serving(tmp_path):
             assert e.code == 404
     finally:
         server.shutdown()
+
+
+def test_http_serving_concurrent():
+    """Concurrent clients: bucketing + the dispatch lock must keep every
+    response consistent with a direct top_k of the same request."""
+    import json
+    import threading
+    import urllib.request
+
+    from iisan_tpu.serve import serve_http
+
+    tr = make_trainer()
+    rec = Recommender.from_trainer(tr)
+    server = serve_http(rec, "127.0.0.1", 0, max_batch=8)
+    port = server.server_address[1]
+    threading.Thread(target=server.serve_forever, daemon=True).start()
+
+    rng = np.random.default_rng(0)
+    reqs = [[[int(x) for x in rng.integers(1, 41, size=rng.integers(1, 9))]
+             for _ in range(int(rng.integers(1, 4)))] for _ in range(12)]
+    results = [None] * len(reqs)
+
+    def call(i):
+        req = urllib.request.Request(
+            f"http://127.0.0.1:{port}/recommend",
+            data=json.dumps({"sequences": reqs[i], "k": 4}).encode())
+        with urllib.request.urlopen(req) as r:
+            results[i] = json.loads(r.read())
+
+    threads = [threading.Thread(target=call, args=(i,))
+               for i in range(len(reqs))]
+    [t.start() for t in threads]
+    [t.join() for t in threads]
+
+    try:
+        for i, out in enumerate(results):
+            assert out is not None, f"request {i} failed"
+            n = len(reqs[i])
+            b = 1
+            while b < n:
+                b *= 2
+            hist = 1
+            while hist < max(len(s) for s in reqs[i]):
+                hist *= 2
+            want_ids, want_scores = rec.top_k(
+                reqs[i] + [[1]] * (b - n), k=4, hist_len=hist)
+            assert out["items"] == want_ids[:n].tolist()
+            np.testing.assert_allclose(out["scores"], want_scores[:n],
+                                       rtol=1e-6)
+    finally:
+        server.shutdown()
