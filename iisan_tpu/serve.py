@@ -168,6 +168,115 @@ class Recommender:
         return np.asarray(ids), np.asarray(scores)
 
 
+class ShardedRecommender:
+    """Catalog-sharded serving over a device mesh.
+
+    The fused item table is the serving-memory hog (2 GB+ at Versa's
+    81×8192-derived geometries with large catalogs); here it shards row-
+    wise over a mesh axis and a query runs as ONE shard_map dispatch:
+
+      - the input-sequence embedding gather is a sharded lookup (each
+        device gathers the rows it owns, `psum` combines),
+      - the user encoder runs replicated (tiny),
+      - full-catalog scoring is a local matmul against the table shard,
+      - top-K merges per-shard candidates (local top-K → `all_gather`
+        of k·n_dev candidates → final top-K), so no device ever
+        materializes the full (B, catalog) score matrix.
+
+    Bit-compatible with `Recommender.top_k` (same scores; ties may
+    reorder).  Accepts ragged sequences exactly like `Recommender`.
+    """
+
+    def __init__(self, rec: Recommender, mesh=None, axis: str = None):
+        from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+        if mesh is None:
+            mesh = Mesh(np.asarray(jax.devices()), ("model",))
+        self.mesh = mesh
+        self.axis = axis or mesh.axis_names[-1]
+        n_dev = mesh.shape[self.axis]
+        if len(mesh.axis_names) != 1:
+            raise ValueError("ShardedRecommender takes a 1-D mesh; got "
+                             f"{mesh.axis_names}")
+        table = np.asarray(rec.fused_table, dtype=np.float32)
+        self.n_rows, self.dim = table.shape
+        self.rows_local = -(-self.n_rows // n_dev)
+        padded = np.zeros((self.rows_local * n_dev, self.dim), table.dtype)
+        padded[: self.n_rows] = table
+        self.table = jax.device_put(
+            padded, NamedSharding(mesh, P(self.axis, None)))
+        self.params = jax.device_put(rec.params, NamedSharding(mesh, P()))
+        self.model = rec.model
+        self.max_seq_len = rec.max_seq_len
+        self._prep = functools.partial(Recommender._prep, self)
+        self._steps = {}
+
+    # ------------------------------------------------------------------
+    def _step_fn(self, B: int, H: int, k: int):
+        key = (B, H, k)
+        if key in self._steps:
+            return self._steps[key]
+        from jax import shard_map
+        from jax.sharding import PartitionSpec as P
+
+        axis, Nl, N = self.axis, self.rows_local, self.n_rows
+        L, model = self.max_seq_len, self.model
+        k_local = min(k, Nl)  # a shard contributes at most Nl candidates
+
+        def body(table_l, params, tokens, log_mask, history):
+            off = jax.lax.axis_index(axis) * Nl
+            loc = tokens - off
+            emb = jnp.take(table_l, jnp.clip(loc, 0, Nl - 1), axis=0)
+            emb = jnp.where(((loc >= 0) & (loc < Nl))[..., None], emb, 0.0)
+            emb = jax.lax.psum(emb, axis)           # sharded row lookup
+            prec = model.apply({"params": params}, emb, log_mask,
+                               method=model.user_scores)[:, -1, :]
+            scores = jnp.dot(prec.astype(jnp.float32), table_l.T,
+                             preferred_element_type=jnp.float32)
+            gids = off + jnp.arange(Nl)
+            # padding rows (>= N), the pad item (global col 0), history
+            scores = jnp.where((gids >= N)[None, :], -jnp.inf, scores)
+            scores = jnp.where((gids == 0)[None, :], -jnp.inf, scores)
+            rows = jnp.arange(B)[:, None]
+            # negative scatter indices WRAP NumPy-style before mode="drop"
+            # applies, so route off-shard ids to the positive OOB sentinel
+            # Nl (dropped) instead of letting below-shard ids wrap
+            hist_loc = history - off
+            hist_idx = jnp.where((hist_loc >= 0) & (hist_loc < Nl),
+                                 hist_loc, Nl)
+            scores = scores.at[rows, hist_idx].set(-jnp.inf, mode="drop")
+            top_s, top_i = jax.lax.top_k(scores, k_local)
+            all_s = jax.lax.all_gather(top_s, axis)   # (n_dev, B, k_local)
+            all_i = jax.lax.all_gather(top_i + off, axis)
+            all_s = jnp.moveaxis(all_s, 0, 1).reshape(B, -1)
+            all_i = jnp.moveaxis(all_i, 0, 1).reshape(B, -1)
+            fin_s, pos = jax.lax.top_k(all_s, k)
+            fin_i = jnp.take_along_axis(all_i, pos, axis=1)
+            return fin_i, fin_s
+
+        # check_vma=False: the outputs ARE replicated (every device runs
+        # the identical final top_k over the all_gathered candidates) but
+        # the static checker cannot infer that through all_gather
+        fn = jax.jit(shard_map(
+            body, mesh=self.mesh,
+            in_specs=(P(axis, None), P(), P(), P(), P()),
+            out_specs=(P(), P()), check_vma=False))
+        self._steps[key] = fn
+        return fn
+
+    def top_k(self, seqs, k: int = 10, exclude_history: bool = True,
+              hist_len: int = None) -> Tuple[np.ndarray, np.ndarray]:
+        tokens, log_mask, history = self._prep(seqs, hist_len)
+        if not exclude_history:
+            history = np.zeros_like(history)
+        if not 0 < k < self.n_rows:
+            raise ValueError(f"k must be in 1..{self.n_rows - 1}")
+        fn = self._step_fn(tokens.shape[0], history.shape[1], k)
+        ids, scores = fn(self.table, self.params, jnp.asarray(tokens),
+                         jnp.asarray(log_mask), jnp.asarray(history))
+        return np.asarray(ids), np.asarray(scores)
+
+
 def _bucket(n: int, cap: int) -> int:
     """Next power of two >= n, capped: requests share a handful of jitted
     shapes instead of compiling the full-catalog graph per geometry."""

@@ -338,3 +338,49 @@ def test_http_serving_concurrent():
                                        rtol=1e-6)
     finally:
         server.shutdown()
+
+
+def test_sharded_recommender_matches_unsharded():
+    """Catalog-sharded serving on the 8-device mesh: identical scores
+    (and ids, absent ties) to the single-device Recommender, including
+    history exclusion with ids on every shard, k > rows-per-shard, and
+    the padded tail rows never being recommended."""
+    import jax
+
+    from iisan_tpu.serve import ShardedRecommender
+
+    if len(jax.devices()) < 8:
+        import pytest
+
+        pytest.skip("needs the 8-device virtual mesh")
+
+    tr = make_trainer()
+    rec = Recommender.from_trainer(tr)
+    sh = ShardedRecommender(rec)  # 40+1 rows over 8 devices -> ragged pad
+
+    rng = np.random.default_rng(3)
+    seqs = [[int(x) for x in rng.integers(1, 41, size=n)]
+            for n in (1, 4, 7, 12)]
+    for k in (3, 10, 39):  # 39 > rows_local: per-shard candidate cap path
+        ids_a, sc_a = rec.top_k(seqs, k=k)
+        ids_b, sc_b = sh.top_k(seqs, k=k)
+        np.testing.assert_allclose(sc_b, sc_a, rtol=1e-6)
+        # id parity only where scores are finite: near-catalog k both
+        # paths fill the tail with -inf (masked) columns whose tie order
+        # is undefined
+        finite = np.isfinite(sc_a)
+        np.testing.assert_array_equal(np.where(finite, ids_b, -1),
+                                      np.where(finite, ids_a, -1))
+        assert ids_b[finite].min() >= 1 and ids_b[finite].max() <= 40
+
+    # exclude_history=False parity too
+    ids_a, sc_a = rec.top_k(seqs, k=5, exclude_history=False)
+    ids_b, sc_b = sh.top_k(seqs, k=5, exclude_history=False)
+    np.testing.assert_allclose(sc_b, sc_a, rtol=1e-6)
+
+    # long history spanning every shard
+    long = [list(range(1, 31))]
+    ids_a, _ = rec.top_k(long, k=10)
+    ids_b, _ = sh.top_k(long, k=10)
+    assert set(ids_b[0]) <= set(range(31, 41))
+    np.testing.assert_array_equal(ids_b, ids_a)
