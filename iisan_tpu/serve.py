@@ -307,7 +307,9 @@ def serve_http(rec: Recommender, host: str, port: int,
 
     log = logging.getLogger("iisan_tpu")
     lock = threading.Lock()
-    n_items = int(rec.fused_table.shape[0]) - 1
+    # works over a Recommender or a ShardedRecommender (same query surface)
+    n_items = int(getattr(rec, "n_rows", 0)
+                  or rec.fused_table.shape[0]) - 1
 
     class Handler(BaseHTTPRequestHandler):
         def _send(self, code: int, payload: dict):
@@ -391,9 +393,16 @@ def main(argv=None) -> int:
     ap.add_argument("--http", metavar="HOST:PORT",
                     help="serve online over HTTP instead of batch-file "
                          "mode (POST /recommend, GET /healthz)")
+    ap.add_argument("--shard", action="store_true",
+                    help="shard the item table over all visible devices "
+                         "(ShardedRecommender): per-shard scoring + "
+                         "candidate-merge top-K for catalogs too large "
+                         "for one chip's HBM")
     args = ap.parse_args(argv)
 
     rec = Recommender.load(args.artifact)
+    if args.shard:
+        rec = ShardedRecommender(rec)
     if args.http:
         host, _, port = args.http.rpartition(":")
         server = serve_http(rec, host or "127.0.0.1", int(port),
@@ -420,7 +429,7 @@ def main(argv=None) -> int:
         open(args.out, "w").close()
         print(f"no input rows in {args.input}; wrote empty {args.out}")
         return 0
-    n_items = rec.fused_table.shape[0] - 1
+    n_items = int(getattr(rec, "n_rows", 0) or rec.fused_table.shape[0]) - 1
     for u, s in zip(users, seqs):
         if not s:
             raise SystemExit(f"user {u!r} has an empty item history — "

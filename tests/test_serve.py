@@ -384,3 +384,21 @@ def test_sharded_recommender_matches_unsharded():
     ids_b, _ = sh.top_k(long, k=10)
     assert set(ids_b[0]) <= set(range(31, 41))
     np.testing.assert_array_equal(ids_b, ids_a)
+
+
+def test_cli_shard_batch_mode(tmp_path):
+    """--shard routes the batch CLI through ShardedRecommender; output
+    rows equal the unsharded CLI's."""
+    from iisan_tpu.serve import main as serve_main
+
+    tr = make_trainer()
+    rec = Recommender.from_trainer(tr)
+    art = str(tmp_path / "art.npz")
+    rec.save(art)
+    inp = tmp_path / "in.tsv"
+    inp.write_text("u1\t1 5 9\nu2\t2 7 12 3\n")
+    out_a, out_b = str(tmp_path / "a.tsv"), str(tmp_path / "b.tsv")
+    serve_main([art, "--input", str(inp), "--out", out_a, "--k", "5"])
+    serve_main([art, "--input", str(inp), "--out", out_b, "--k", "5",
+                "--shard"])
+    assert open(out_a).read() == open(out_b).read()
