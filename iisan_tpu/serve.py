@@ -490,11 +490,19 @@ def main(argv=None) -> int:
                          "HBM; the per-row scale factors out of the "
                          "scoring matmul, so the catalog is never "
                          "densely dequantized)")
+    ap.add_argument("--save-as", metavar="OUT.npz",
+                    help="re-export the (e.g. --quant int8) artifact and "
+                         "exit - quantize once, deploy the small file")
     args = ap.parse_args(argv)
 
     rec = Recommender.load(args.artifact)
     if args.quant == "int8":
         rec = rec.quantize_table()
+    if args.save_as:
+        rec.save(args.save_as)
+        print(f"re-exported {args.artifact} -> {args.save_as} "
+              f"(quant={args.quant})")
+        return 0
     if args.shard:
         rec = ShardedRecommender(rec)
     if args.http:

@@ -455,3 +455,19 @@ def test_quantized_serving_table(tmp_path):
         ids_s, sc_s = sh.top_k(seqs, k=7)
         np.testing.assert_allclose(sc_s, sc_q, rtol=1e-5, atol=1e-5)
         np.testing.assert_array_equal(ids_s, ids_q)
+
+
+def test_cli_save_as_quantized(tmp_path):
+    """--quant int8 --save-as: one-command artifact conversion; the
+    converted artifact serves identically to in-process quantization."""
+    from iisan_tpu.serve import main as serve_main
+
+    rec = Recommender.from_trainer(make_trainer())
+    art = str(tmp_path / "f.npz")
+    rec.save(art)
+    small = str(tmp_path / "q.npz")
+    assert serve_main([art, "--quant", "int8", "--save-as", small]) == 0
+    got_ids, got_sc = Recommender.load(small).top_k([[1, 5, 9]], k=5)
+    want_ids, want_sc = rec.quantize_table().top_k([[1, 5, 9]], k=5)
+    np.testing.assert_array_equal(got_ids, want_ids)
+    np.testing.assert_allclose(got_sc, want_sc, rtol=1e-6)
