@@ -39,12 +39,14 @@ from .ops.quant import QuantTaps
 
 
 def _table_lookup(table, ids):
-    """Row gather that dequantizes int8 tables on the gathered rows only."""
-    if isinstance(table, QuantTaps):
-        q = jnp.take(table.q[:, 0, :], ids, axis=0).astype(jnp.float32)
-        s = jnp.take(table.scale[:, 0, 0], ids, axis=0)[..., None]
-        return (q * s).astype(jnp.dtype(table.out_dtype))
-    return jnp.take(table, ids, axis=0)
+    """Row gather that dequantizes int8 tables on the gathered rows only
+    (ops/quant.gather_rows is the polymorphic implementation)."""
+    from .ops.quant import gather_rows
+
+    out = gather_rows(table, ids)
+    if isinstance(table, QuantTaps):  # (B, L, 1, D) -> (B, L, D)
+        out = out[..., 0, :]
+    return out
 
 
 def _score_catalog(prec, table):
@@ -63,8 +65,9 @@ def _score_catalog(prec, table):
                    preferred_element_type=jnp.float32)
 
 
-def _table_rows(table) -> int:
-    return int(table.shape[0])
+def _catalog_rows(rec) -> int:
+    """Table rows (catalog + pad) of a Recommender or ShardedRecommender."""
+    return int(getattr(rec, "n_rows", 0) or rec.fused_table.shape[0])
 
 
 @functools.partial(jax.jit, static_argnums=(0, 6))
@@ -258,7 +261,9 @@ class ShardedRecommender:
             s = np.asarray(src.scale[:, 0, 0], dtype=np.float32)
             self.n_rows, self.dim = q.shape
         else:
-            table = np.asarray(src, dtype=np.float32)
+            # keep the source dtype resident (a bf16 table stays bf16 -
+            # halving shard HBM is the point); matmuls cast in-flight
+            table = np.asarray(src)
             self.n_rows, self.dim = table.shape
         self.rows_local = -(-self.n_rows // n_dev)
         n_pad = self.rows_local * n_dev
@@ -317,7 +322,8 @@ class ShardedRecommender:
                                  preferred_element_type=jnp.float32)
                 scores = scores * s_l[None, :]
             else:
-                scores = jnp.dot(prec.astype(jnp.float32), table_l.T,
+                scores = jnp.dot(prec.astype(jnp.float32),
+                                 table_l.T.astype(jnp.float32),
                                  preferred_element_type=jnp.float32)
             gids = off + jnp.arange(Nl)
             # padding rows (>= N), the pad item (global col 0), history
@@ -395,8 +401,8 @@ def serve_http(rec: Recommender, host: str, port: int,
     log = logging.getLogger("iisan_tpu")
     lock = threading.Lock()
     # works over a Recommender or a ShardedRecommender (same query surface)
-    n_items = int(getattr(rec, "n_rows", 0)
-                  or rec.fused_table.shape[0]) - 1
+    n_items = _catalog_rows(rec) - 1
+    MAX_HIST = 4096  # longest accepted client sequence (shape-cap)
 
     class Handler(BaseHTTPRequestHandler):
         def _send(self, code: int, payload: dict):
@@ -432,6 +438,9 @@ def serve_http(rec: Recommender, host: str, port: int,
                 if len(seqs) > max_batch:
                     raise ValueError(f"batch {len(seqs)} > max {max_batch}")
                 for s in seqs:
+                    if len(s) > MAX_HIST:
+                        raise ValueError(
+                            f"sequence length {len(s)} > max {MAX_HIST}")
                     bad = [i for i in s if not (isinstance(i, int)
                                                 and 0 < i <= n_items)]
                     if bad:
@@ -444,14 +453,27 @@ def serve_http(rec: Recommender, host: str, port: int,
                 return
             n = len(seqs)
             b = _bucket(n, max_batch)
-            hist = _bucket(max(len(s) for s in seqs), 1 << 20)
+            hist = _bucket(max(len(s) for s in seqs), MAX_HIST)
+            # bucket k too: it is a static jit arg, so arbitrary client
+            # values would otherwise compile (and cache) one full-catalog
+            # program per distinct k - truncate the response afterwards
+            kb = min(_bucket(k, 1 << 30), n_items)
             padded = seqs + [[1]] * (b - n)
             with lock:  # one chip: serialize device dispatches
-                ids, scores = rec.top_k(padded, k=k,
+                ids, scores = rec.top_k(padded, k=kb,
                                         exclude_history=exclude,
                                         hist_len=hist)
-            self._send(200, {"items": ids[:n].tolist(),
-                             "scores": scores[:n].tolist()})
+            ids, scores = ids[:n, :k], scores[:n, :k]
+            # -inf scores (k exceeded the user's unmasked catalog) are
+            # not valid JSON; report those slots as null item / null score
+            finite = np.isfinite(scores)
+            self._send(200, {
+                "items": [[int(i) if f else None
+                           for i, f in zip(row, frow)]
+                          for row, frow in zip(ids, finite)],
+                "scores": [[float(s) if f else None
+                            for s, f in zip(row, frow)]
+                           for row, frow in zip(scores, finite)]})
 
         def log_message(self, fmt, *args):  # route to the package logger
             log.info("http %s", fmt % args)
@@ -507,6 +529,8 @@ def main(argv=None) -> int:
         rec = ShardedRecommender(rec)
     if args.http:
         host, _, port = args.http.rpartition(":")
+        if not port.isdigit():
+            ap.error(f"--http expects HOST:PORT, got {args.http!r}")
         server = serve_http(rec, host or "127.0.0.1", int(port),
                             max_batch=args.batch)
         print(f"serving {args.artifact} on http://{host or '127.0.0.1'}:"
@@ -531,7 +555,7 @@ def main(argv=None) -> int:
         open(args.out, "w").close()
         print(f"no input rows in {args.input}; wrote empty {args.out}")
         return 0
-    n_items = int(getattr(rec, "n_rows", 0) or rec.fused_table.shape[0]) - 1
+    n_items = _catalog_rows(rec) - 1
     for u, s in zip(users, seqs):
         if not s:
             raise SystemExit(f"user {u!r} has an empty item history — "

@@ -265,11 +265,20 @@ def test_http_serving(tmp_path):
 
         seqs = [[1, 5, 9], [2, 2, 7, 12, 3]]
         out = post({"sequences": seqs, "k": 5})
-        want_ids, want_scores = rec.top_k(
-            seqs + [[1]] * 2, k=5, hist_len=8)  # bucket: batch 4, hist 8
-        assert out["items"] == want_ids[:2].tolist()
-        np.testing.assert_allclose(out["scores"], want_scores[:2],
+        # server buckets: batch _bucket(2)=2 (no padding), hist 8, k 8
+        # (power-of-two), then truncates the response to the requested 5
+        want_ids, want_scores = rec.top_k(seqs, k=8, hist_len=8)
+        assert out["items"] == want_ids[:, :5].tolist()
+        np.testing.assert_allclose(out["scores"], want_scores[:, :5],
                                    rtol=1e-6)
+
+        # k beyond the unmasked catalog: the -inf tail comes back as
+        # null items/scores (strict-JSON safe), finite prefix intact
+        out = post({"sequences": [list(range(1, 36))], "k": 10})
+        tail = [p for p in zip(out["items"][0], out["scores"][0])
+                if p[1] is None]
+        assert tail and all(i is None for i, _ in tail)
+        assert all(s is not None for s in out["scores"][0][:5])
 
         for bad in ({"sequences": []}, {"sequences": [[]]},
                     {"sequences": [[999]]}, {"sequences": [[1]], "k": 0},
