@@ -56,7 +56,8 @@ def build_recommender(catalog: int, dim: int = 64, seq_len: int = 10,
 
 
 def random_seqs(rng, batch: int, catalog: int, seq_len: int):
-    return [list(rng.integers(1, catalog + 1, seq_len)) for _ in range(batch)]
+    return [[int(x) for x in rng.integers(1, catalog + 1, seq_len)]
+            for _ in range(batch)]
 
 
 def bench_latency(rec, catalog: int, batch: int, k: int = 10,
@@ -81,11 +82,50 @@ def bench_latency(rec, catalog: int, batch: int, k: int = 10,
                                      * 1e3, 1)}
 
 
+def bench_http(rec, catalog: int, batch: int, k: int = 10,
+               warmup: int = 5, calls: int = 30):
+    """End-to-end HTTP latency of the --http mode on localhost (adds
+    JSON + socket overhead on top of the device dispatch)."""
+    import json as _json
+    import threading
+    import urllib.request
+
+    from iisan_tpu.serve import serve_http
+
+    server = serve_http(rec, "127.0.0.1", 0, max_batch=max(batch, 256))
+    port = server.server_address[1]
+    threading.Thread(target=server.serve_forever, daemon=True).start()
+    rng = np.random.default_rng(2)
+    try:
+        times = []
+        for i in range(warmup + calls):
+            payload = _json.dumps({"sequences": random_seqs(
+                rng, batch, catalog, rec.max_seq_len), "k": k}).encode()
+            t0 = time.perf_counter()
+            req = urllib.request.Request(
+                f"http://127.0.0.1:{port}/recommend", data=payload)
+            with urllib.request.urlopen(req) as r:
+                out = _json.loads(r.read())
+            if i >= warmup:
+                times.append(time.perf_counter() - t0)
+        assert len(out["items"]) == batch
+    finally:
+        server.shutdown()
+    ms = np.array(times) * 1e3
+    return {"batch": batch, "catalog": catalog, "transport": "http",
+            "p50_ms": round(float(np.percentile(ms, 50)), 3),
+            "p95_ms": round(float(np.percentile(ms, 95)), 3)}
+
+
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--out", default="SERVE_BENCH.json")
     ap.add_argument("--catalogs", default="21000,100000")
     ap.add_argument("--batches", default="1,32,256,2048")
+    ap.add_argument("--quant", choices=["none", "int8"], default="none",
+                    help="int8: bench the quantized-table serving path")
+    ap.add_argument("--http", action="store_true",
+                    help="also measure localhost HTTP round-trip rows")
     args = ap.parse_args()
 
     import jax
@@ -94,12 +134,21 @@ def main():
     rows = []
     for catalog in [int(c) for c in args.catalogs.split(",")]:
         rec = build_recommender(catalog)
+        if args.quant == "int8":
+            rec = rec.quantize_table()
         for batch in [int(b) for b in args.batches.split(",")]:
             row = bench_latency(rec, catalog, batch)
+            row["quant"] = args.quant
             rows.append(row)
             print(f"catalog {catalog:>6} batch {batch:>5}: "
                   f"p50 {row['p50_ms']:7.2f} ms  p95 {row['p95_ms']:7.2f} ms"
                   f"  {row['users_per_s_p50']:>9} users/s", flush=True)
+            if args.http:
+                hrow = bench_http(rec, catalog, batch)
+                hrow["quant"] = args.quant
+                rows.append(hrow)
+                print(f"  http            : p50 {hrow['p50_ms']:7.2f} ms  "
+                      f"p95 {hrow['p95_ms']:7.2f} ms", flush=True)
     out = {"platform": platform,
            "note": ("latency includes the axon-tunnel host round trip "
                     "(~30 ms floor on this environment); large batches "
