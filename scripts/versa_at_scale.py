@@ -13,9 +13,12 @@ caches are synthetic-valued but real-shaped full 81-row fp16 memmaps —
 ``load_taps`` row-selection then gathers the 7 selected layers exactly as
 it would from builder output (the timed compute path is identical).
 
-    python scripts/versa_at_scale.py [--epochs 3]
+    python scripts/versa_at_scale.py [--epochs 3] [--geometry llama|eva]
+        [--store_dtype float16|int8] [--cache_quant none|int8]
 
-Writes VERSA_SCALE.json at the repo root.
+Writes VERSA_SCALE[_eva][_int8|_int8store].json at the repo root.
+--geometry eva is the reference's heaviest published pairing:
+Llama-3-70B text x EVA-CLIP-18B vision (run_IISAN_eva.py:56-65).
 """
 
 import argparse
@@ -45,6 +48,11 @@ def main():
                          "load_taps host transient (QuantTaps flows "
                          "straight to the trainer, implying int8 device "
                          "tables whatever --cache_quant says)")
+    ap.add_argument("--geometry", default="llama", choices=["llama", "eva"],
+                    help="llama: Llama-3-70B text x ViT-tiny image "
+                         "(script/run_IISAN.py:52-64). eva: BERT-large "
+                         "text x EVA-CLIP-18B vision, 49x5120 taps "
+                         "'2,11,20,29,38,47' (script/run_IISAN_eva.py)")
     args = ap.parse_args()
 
     from iisan_tpu.utils.compile_cache import enable_compilation_cache
@@ -60,17 +68,30 @@ def main():
     from iisan_tpu.utils.tpme import compiled_memory_bytes
 
     setup_logger("/tmp/iisan_logs", "versa_scale")
+    if args.geometry == "llama":
+        # Llama-3-70B text tower x ViT-tiny (script/run_IISAN.py:55,61-64)
+        geom = dict(text_embedding_dim=8192, text_layers=80,
+                    side_adapter_bert_list="4,19,34,49,64,79",
+                    image_embedding_dim=192, image_layers=12,
+                    side_adapter_vit_list="1,3,5,7,9,11")
+        text_geom, img_geom = (81, 8192), (13, 192)
+        text_name, img_name = "llama70b.memmap", "vit_tiny.memmap"
+    else:
+        # Llama-3-70B text x EVA-CLIP-18B vision — the reference's
+        # heaviest published pairing (script/run_IISAN_eva.py:56-65:
+        # text 80x8192 taps "4,19,34,49,64,79", vision 48x5120 taps
+        # "2,11,20,29,38,47")
+        geom = dict(text_embedding_dim=8192, text_layers=80,
+                    side_adapter_bert_list="4,19,34,49,64,79",
+                    image_embedding_dim=5120, image_layers=48,
+                    side_adapter_vit_list="2,11,20,29,38,47")
+        text_geom, img_geom = (81, 8192), (49, 5120)
+        text_name, img_name = "llama70b.memmap", "eva18b.memmap"
     cfg = IISANConfig(
         pipeline="cached_asym", batch_size=64, epoch=args.epochs,
         embedding_dim=64, seed=12345,
-        # Llama-3-70B text tower (script/run_IISAN.py:55,61-64)
-        text_embedding_dim=8192, text_layers=80,
-        side_adapter_bert_list="4,19,34,49,64,79",
-        # ViT-tiny image tower
-        image_embedding_dim=192, image_layers=12,
-        side_adapter_vit_list="1,3,5,7,9,11",
         bert_adapter_down_size=64, cv_adapter_down_size=64,
-        modality="intra_inter", cache_quant=args.cache_quant)
+        modality="intra_inter", cache_quant=args.cache_quant, **geom)
 
     base = "/root/reference/Dataset/Scientific"
     titles, n2i, i2n = read_items(f"{base}/Industrial_and_Scientific_items.tsv")
@@ -79,8 +100,9 @@ def main():
     n = corpus.item_num + 1
     text_taps_ids = cfg.san_text_taps()
     cv_taps_ids = cfg.san_image_taps()
-    print(f"items {corpus.item_num}  text taps {text_taps_ids} of 81 rows  "
-          f"cv taps {cv_taps_ids} of 13 rows", flush=True)
+    print(f"items {corpus.item_num}  text taps {text_taps_ids} of "
+          f"{text_geom[0]} rows  cv taps {cv_taps_ids} of "
+          f"{img_geom[0]} rows", flush=True)
 
     # Full-geometry fp16 memmap caches on disk (the real builder output
     # shape); only the tap rows carry data — load_taps never touches the
@@ -102,13 +124,13 @@ def main():
         store.flush()
 
     text_store = HiddenStateCache.create(
-        os.path.join(CACHE_DIR, "llama70b.memmap"), n, 81, 8192,
+        os.path.join(CACHE_DIR, text_name), n, *text_geom,
         args.store_dtype)
-    write_tap_rows(text_store, text_taps_ids, 8192)
+    write_tap_rows(text_store, text_taps_ids, text_geom[1])
     cv_store = HiddenStateCache.create(
-        os.path.join(CACHE_DIR, "vit_tiny.memmap"), n, 13, 192,
+        os.path.join(CACHE_DIR, img_name), n, *img_geom,
         args.store_dtype)
-    write_tap_rows(cv_store, cv_taps_ids, 192)
+    write_tap_rows(cv_store, cv_taps_ids, img_geom[1])
     build_s = time.time() - t0
     # Apparent vs allocated: only the tap rows are written, so the memmap
     # files are sparse — st_blocks*512 is the true disk usage, getsize the
@@ -149,9 +171,10 @@ def main():
     steps = tr.epoch_permutation(0).shape[0]
     hit, ndcg = tr.evaluate_split("valid")
     out = {
-        "config": f"Llama-3-70B text (81x8192 {args.store_dtype}, taps "
-                  "4,19,34,49,64,79) x ViT-tiny image (13x192), "
-                  "Scientific behaviors, bs 64",
+        "config": (f"text {text_geom[0]}x{text_geom[1]} x image "
+                   f"{img_geom[0]}x{img_geom[1]} ({args.geometry} "
+                   f"geometry, {args.store_dtype} store), Scientific "
+                   "behaviors, bs 64"),
         "epoch_seconds": float(np.median(times)),
         "step_ms": float(np.median(times)) / steps * 1e3,
         "steps_per_epoch": steps,
@@ -166,12 +189,14 @@ def main():
     }
     # distinct configs -> distinct artifacts (device-side quantization of
     # an fp16 store vs a pre-quantized int8 store measure different paths)
+    parts = ["VERSA_SCALE"]
+    if args.geometry != "llama":
+        parts.append(args.geometry)
     if args.store_dtype == "int8":
-        out_name = "VERSA_SCALE_int8store.json"
+        parts.append("int8store")
     elif args.cache_quant == "int8":
-        out_name = "VERSA_SCALE_int8.json"
-    else:
-        out_name = "VERSA_SCALE.json"
+        parts.append("int8")
+    out_name = "_".join(parts) + ".json"
     with open(out_name, "w") as f:
         json.dump(out, f, indent=1)
     print(json.dumps(out, indent=1))
