@@ -8,7 +8,15 @@ from iisan_tpu.serve import Recommender
 from iisan_tpu.train.cached import CachedTrainer
 
 
+_TRAINER_CACHE = {}
+
+
 def make_trainer(compute_dtype="float32"):
+    """One trained trainer per dtype, shared across the file: every
+    consumer is read-only (top_k / from_trainer), and training it once
+    halves the file's runtime."""
+    if compute_dtype in _TRAINER_CACHE:
+        return _TRAINER_CACHE[compute_dtype]
     cfg = IISANConfig(
         batch_size=8, epoch=1, embedding_dim=16,
         side_adapter_vit_list="1,3", side_adapter_bert_list="1,3",
@@ -18,6 +26,7 @@ def make_trainer(compute_dtype="float32"):
     tr = CachedTrainer(cfg, corpus, synthetic_taps(40, 3, 24, 1),
                        synthetic_taps(40, 3, 24, 2))
     tr.run_epoch(1)
+    _TRAINER_CACHE[compute_dtype] = tr
     return tr
 
 
