@@ -21,6 +21,11 @@ METHODS = ["iisan_cached", "iisan_uncached", "fft", "lora", "houlsby",
 def main():
     args = [a for a in sys.argv[1:] if a != "--merge"]
     merge = "--merge" in sys.argv[1:]
+    extra = []  # forwarded to tpme_single (e.g. --users 12076)
+    if "--users" in args:
+        i = args.index("--users")
+        extra = args[i:i + 2]
+        del args[i:i + 2]
     methods = args or METHODS
     records = []
     prior = {}

@@ -87,7 +87,13 @@ def measure_uncached(method: str):
         "bitfit": dict(adapter_type="bitfit", adding_adapter_to="all",
                        fine_tune_to="None"),
     }[method]
-    corpus = synthetic_corpus(n_users=256, item_num=600, seed=0)
+    # --users N: size of the host-fed e2e epoch (default 256 keeps the
+    # six-method TPME sweep affordable through the tunnel; pass 12076 to
+    # measure a full Scientific epoch with NO linear scaling).
+    n_users = 256
+    if "--users" in sys.argv:
+        n_users = int(sys.argv[sys.argv.index("--users") + 1])
+    corpus = synthetic_corpus(n_users=n_users, item_num=600, seed=0)
     rng = np.random.default_rng(0)
     tokens = np.zeros((corpus.item_num + 1, 60), np.int32)
     tokens[1:, :30] = rng.integers(1, 30000, size=(corpus.item_num, 30))
@@ -133,9 +139,13 @@ def measure_uncached(method: str):
             "cross-method basis the TPME score uses)",
         "epoch_seconds_e2e": e2e_wall * (SCIENTIFIC_USERS / corpus.n_users),
         "epoch_seconds_e2e_basis":
-            f"MEASURED host-fed run_epoch over {corpus.n_users} users "
-            f"({e2e_wall:.1f}s wall) scaled linearly to "
-            f"{SCIENTIFIC_USERS} users; images from SyntheticImageStore "
+            (f"MEASURED full host-fed Scientific epoch ({corpus.n_users} "
+             f"users, {e2e_wall:.1f}s wall, UNSCALED)"
+             if corpus.n_users == SCIENTIFIC_USERS else
+             f"MEASURED host-fed run_epoch over {corpus.n_users} users "
+             f"({e2e_wall:.1f}s wall) scaled linearly to "
+             f"{SCIENTIFIC_USERS} users") +
+            "; images from SyntheticImageStore "
             "(in-memory RNG pixels - no JPEG decode/LMDB read), host feed "
             "tunnel/1-core-limited in this environment "
             "(docs/ROUND2_NOTES.md)",
