@@ -30,6 +30,11 @@ class TrainResult:
     epoch_times: list = field(default_factory=list)
     losses: list = field(default_factory=list)
     test_metrics: Optional[Tuple[float, float]] = None
+    # Test metrics captured AT the best-valid epoch - the number the papers
+    # report.  test_metrics above mirrors the reference's literal behavior
+    # (last test eval run, which the every-10th-epoch rule can overwrite
+    # after the best epoch, run.py:402-405).
+    best_test_metrics: Optional[Tuple[float, float]] = None
     # True when epoch_times were measured around a fused train+valid-eval
     # dispatch - i.e. they are NOT the reference's train-loop-only basis.
     epoch_times_include_eval: bool = False
@@ -99,7 +104,8 @@ class TrainLoopMixin:
                 now_epoch, loss, hit * 100, ndcg * 100, epoch_time,
                 " epoch+eval" if fused_out is not None else "")
             res.epochs_run = now_epoch
-            if hit > res.best_hit10:
+            new_best = hit > res.best_hit10
+            if new_best:
                 res.best_hit10, res.best_ndcg10 = hit, ndcg
                 res.best_epoch = now_epoch
                 early_stop_count = 0
@@ -112,6 +118,8 @@ class TrainLoopMixin:
             if hit > max_hit10 or max_hit10 == 0 or ep % 10 == 0:
                 max_hit10 = max(max_hit10, hit)
                 res.test_metrics = self.evaluate_split("test")
+                if new_best:
+                    res.best_test_metrics = res.test_metrics
                 log.info("test Hit10 %.5f nDCG10 %.5f",
                          res.test_metrics[0] * 100, res.test_metrics[1] * 100)
                 if save_checkpoints:

@@ -108,25 +108,41 @@ def load_dataset(name, cfg):
 
 def summarize(runs):
     """runs: {variant: [record...]} -> summary with mean/std and the
-    2-sigma margin test (Welch-style SE of the difference in means)."""
+    2-sigma margin test (Welch-style SE of the difference in means), on
+    BOTH the valid split (best_hit10) and the test split at the
+    best-valid epoch (test_hit10) - the reference protocol reports
+    test-at-best (Code_Uncached/run.py:431-438)."""
     out = {}
     for variant, rs in runs.items():
-        h = np.array([r["best_hit10"] for r in rs], np.float64)
-        nd = np.array([r["best_ndcg10"] for r in rs], np.float64)
-        out[variant] = dict(
-            n=len(rs),
-            hit10_mean=float(h.mean()), hit10_std=float(h.std(ddof=1)) if
-            len(rs) > 1 else 0.0,
-            ndcg10_mean=float(nd.mean()), ndcg10_std=float(nd.std(ddof=1))
-            if len(rs) > 1 else 0.0)
+        rec = dict(n=len(rs))
+        for split, hk, nk in (("", "best_hit10", "best_ndcg10"),
+                              ("test_", "test_hit10", "test_ndcg10")):
+            if not all(r.get(hk) is not None for r in rs):
+                continue  # pre-round-3 records carried valid-only
+            h = np.array([r[hk] for r in rs], np.float64)
+            nd = np.array([r[nk] for r in rs], np.float64)
+            rec[f"{split}hit10_mean"] = float(h.mean())
+            rec[f"{split}hit10_std"] = (float(h.std(ddof=1))
+                                        if len(rs) > 1 else 0.0)
+            rec[f"{split}ndcg10_mean"] = float(nd.mean())
+            rec[f"{split}ndcg10_std"] = (float(nd.std(ddof=1))
+                                         if len(rs) > 1 else 0.0)
+        out[variant] = rec
     for a, b, tag in (("informative", "id", "informative_vs_id"),
                       ("informative", "random", "informative_vs_random"),
                       ("random", "id", "random_vs_id")):
-        if a in out and b in out and out[a]["n"] > 1 and out[b]["n"] > 1:
-            margin = out[a]["hit10_mean"] - out[b]["hit10_mean"]
-            se = float(np.sqrt(out[a]["hit10_std"] ** 2 / out[a]["n"]
-                               + out[b]["hit10_std"] ** 2 / out[b]["n"]))
-            out[f"margin_{tag}"] = dict(
+        if a not in out or b not in out or out[a]["n"] < 2 \
+                or out[b]["n"] < 2:
+            continue
+        for split in ("", "test_"):
+            mk = f"{split}hit10_mean"
+            if mk not in out[a] or mk not in out[b]:
+                continue
+            margin = out[a][mk] - out[b][mk]
+            sk = f"{split}hit10_std"
+            se = float(np.sqrt(out[a][sk] ** 2 / out[a]["n"]
+                               + out[b][sk] ** 2 / out[b]["n"]))
+            out[f"{split}margin_{tag}"] = dict(
                 hit10=margin, se=se,
                 sigmas=margin / se if se > 0 else float("inf"),
                 significant_2sigma=bool(se > 0 and margin > 2 * se))
@@ -177,11 +193,14 @@ def main():
             cfg = base_cfg.replace(seed=12345 + seed)
             for variant in ("informative", "random", "id"):
                 key = f"{ds}/{variant}/seed{seed}"
-                # Resume only a record trained under the SAME epoch budget:
-                # pooling mixed budgets would silently skew the summary
-                # (records without the field predate it; assume current).
-                if key in done and done[key].get("epochs_budget",
-                                                 args.epochs) == args.epochs:
+                # Resume only a record trained under the SAME epoch budget
+                # (mixed budgets would skew the summary) AND carrying
+                # test-split metrics - pre-round-3 records were valid-only
+                # and must be re-measured to report test-at-best.
+                if key in done \
+                        and done[key].get("epochs_budget",
+                                          args.epochs) == args.epochs \
+                        and "test_hit10" in done[key]:
                     print(f"{key}: cached ({done[key]['best_hit10']:.4f})",
                           flush=True)
                     continue
@@ -196,16 +215,19 @@ def main():
                                         seed=2000 + seed)
                     tr = CachedTrainer(cfg, corpus, cv, text)
                 res = tr.train()
+                test_hit, test_ndcg = res.best_test_metrics or (None, None)
                 done[key] = dict(
                     dataset=ds, variant=variant, seed=seed,
                     epochs_budget=args.epochs,
                     best_hit10=res.best_hit10, best_ndcg10=res.best_ndcg10,
+                    test_hit10=test_hit, test_ndcg10=test_ndcg,
                     best_epoch=res.best_epoch, epochs_run=res.epochs_run,
                     wall_seconds=time.time() - t0)
                 with open(PARTIAL, "w") as f:
                     json.dump(done, f, indent=1)
                 print(f"{key}: Hit@10={res.best_hit10:.4f} "
                       f"nDCG@10={res.best_ndcg10:.4f} "
+                      f"test Hit@10={test_hit if test_hit is None else round(test_hit, 4)} "
                       f"({time.time()-t0:.0f}s)", flush=True)
 
     report = {"epochs": args.epochs, "seeds": seeds, "datasets": {}}

@@ -31,16 +31,22 @@ run_step serve_int8 SERVE_BENCH_int8.json 2400 \
 run_step tpu_kernel_tier "" 2400 env IISAN_TEST_PLATFORM=tpu \
   python -m pytest tests/test_fused_user_encoder.py \
     tests/test_fused_attention.py tests/test_fused_san.py -q
-# Office proxy accuracy last: longest step; resumes row-by-row.
+# Proxy accuracy last: longest step; resumes row-by-row.  Seed the
+# partial file from the last published report so already-measured rows
+# (matching epoch budget AND carrying test-split metrics) are skipped.
 if [ -f PROXY_ACCURACY.json ] && [ ! -f PROXY_ACCURACY_partial.json ]; then
   python - <<'EOF'
 import json
 rep = json.load(open("PROXY_ACCURACY.json"))
-runs = [r for d in rep.get("datasets", {}).values() for r in d.get("runs", [])]
-json.dump(runs, open("PROXY_ACCURACY_partial.json", "w"))
-print("seeded partial with", len(runs), "rows")
+done = {}
+for ds, d in rep.get("datasets", {}).items():
+    for variant, recs in d.get("runs", {}).items():
+        for r in recs:
+            done[f"{ds}/{variant}/seed{r['seed']}"] = r
+json.dump(done, open("PROXY_ACCURACY_partial.json", "w"), indent=1)
+print("seeded partial with", len(done), "rows")
 EOF
 fi
-run_step proxy_office "" 7200 \
+run_step proxy_all "" 14400 \
   python scripts/proxy_accuracy.py --datasets scientific,instrument,office
 say "QUEUE DONE"

@@ -5,7 +5,12 @@ Runs every method in its own subprocess (scripts/tpme_single.py), collects
 (0.45, 0.10, 0.45) (README.md:91-96, figs/efficiency-metric.png), prints a
 table and writes TPME.json at the repo root.
 
-    python scripts/tpme_report.py [method ...]   # default: all six
+    python scripts/tpme_report.py [method ...] [--merge] [--users N]
+
+Default methods: all six.  --merge starts from prior TPME.json /
+TPME_partial.json records for methods not re-measured now.  --users N is
+forwarded to tpme_single.py and sizes the host-fed e2e epoch (e.g.
+--users 12076 for a full unscaled Scientific epoch).
 """
 
 import json
@@ -45,7 +50,7 @@ def main():
     for m in methods:
         print(f"measuring {m} ...", flush=True)
         res = subprocess.run(
-            [sys.executable, "scripts/tpme_single.py", m],
+            [sys.executable, "scripts/tpme_single.py", m, *extra],
             capture_output=True, text=True)
         if res.returncode != 0 and "RESOURCE_EXHAUSTED" in res.stderr:
             # Doesn't fit one v5e at reference batch size -> retry with
@@ -54,7 +59,8 @@ def main():
             for attempt in range(2):
                 print("  OOM - retrying with remat_towers", flush=True)
                 res = subprocess.run(
-                    [sys.executable, "scripts/tpme_single.py", m, "--remat"],
+                    [sys.executable, "scripts/tpme_single.py", m, "--remat",
+                     *extra],
                     capture_output=True, text=True)
                 if res.returncode == 0 or "RESOURCE_EXHAUSTED" in res.stderr:
                     break

@@ -92,7 +92,11 @@ def measure_uncached(method: str):
     # measure a full Scientific epoch with NO linear scaling).
     n_users = 256
     if "--users" in sys.argv:
-        n_users = int(sys.argv[sys.argv.index("--users") + 1])
+        i = sys.argv.index("--users")
+        if i + 1 >= len(sys.argv) or not sys.argv[i + 1].isdigit():
+            sys.exit("usage: tpme_single.py METHOD [--remat] [--users N] "
+                     "(--users needs a positive integer)")
+        n_users = int(sys.argv[i + 1])
     corpus = synthetic_corpus(n_users=n_users, item_num=600, seed=0)
     rng = np.random.default_rng(0)
     tokens = np.zeros((corpus.item_num + 1, 60), np.int32)

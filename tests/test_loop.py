@@ -11,8 +11,9 @@ def make_trainer(**kw):
     # fused_epoch_eval off: these tests monkeypatch run_epoch /
     # evaluate_split, which the fused single-dispatch path bypasses (the
     # fused path itself is covered by test_cached_e2e.py).
+    kw.setdefault("epoch", 5)
     cfg = IISANConfig(
-        batch_size=8, epoch=5, embedding_dim=16,
+        batch_size=8, embedding_dim=16,
         side_adapter_vit_list="1,3", side_adapter_bert_list="1,3",
         word_embedding_dim=24, image_embedding_dim=24,
         compute_dtype="float32", eval_batch_size=16,
@@ -49,6 +50,31 @@ def test_early_stop_patience(monkeypatch):
     # 1 best epoch + patience(2)+1 failing epochs
     assert res.epochs_run == 4
     assert res.best_epoch == 1
+
+
+def test_best_test_metrics_taken_at_best_valid_epoch(monkeypatch):
+    """best_test_metrics must be the test eval at the best-VALID epoch,
+    while test_metrics mirrors the reference's literal last-test-run
+    behavior (every-10th-epoch rule can overwrite it, run.py:402-405)."""
+    tr = make_trainer(epoch=12, early_stop_patience=20)
+    monkeypatch.setattr(tr, "run_epoch", lambda e: 1.0)
+    # valid peaks at epoch 2 then declines; test eval returns the epoch
+    # number so we can see WHICH epoch's test eval was recorded.
+    valid = iter([0.5, 0.9] + [0.1] * 50)
+    state = {"ep": 0}
+
+    def fake_eval(split):
+        if split == "valid":
+            state["ep"] += 1
+            return (next(valid), 0.0)
+        return (float(state["ep"]), 0.0)
+
+    monkeypatch.setattr(tr, "evaluate_split", fake_eval)
+    res = tr.train()
+    assert res.best_epoch == 2
+    assert res.best_test_metrics == (2.0, 0.0)
+    # the every-10th-epoch rule ran a later test eval (epoch 11: ep%10==0)
+    assert res.test_metrics == (11.0, 0.0)
 
 
 def test_additive_fusion_end_to_end():
