@@ -50,9 +50,15 @@ def main(argv=None):
                     help="llama = RMSNorm/rotary/SwiGLU decoder tower, the "
                          "Llama-3-70B Versa path (mean-pooled, no mask - "
                          "preprocess_llama-3-70b_micro.py)")
-    ap.add_argument("--image-arch", default="vit", choices=["vit", "clip"],
-                    help="clip = CLIP-family vision tower, the EVA Versa "
-                         "path (process_eva_clip_vectors.py)")
+    ap.add_argument("--image-arch", default="vit",
+                    choices=["vit", "clip", "eva"],
+                    help="clip = CLIP-family vision tower; eva = EVA "
+                         "architecture (2D RoPE, SwiGLU/sub-LN, bias-free "
+                         "k) - the EVA-CLIP-18B Versa path "
+                         "(process_eva_clip_vectors.py). eva expects "
+                         "--image-model to be a local dir with config.json "
+                         "(vision fields) + pytorch_model.bin in the "
+                         "public baaivision/EVA eva_clip state-dict naming")
     ap.add_argument("--image-source", default="",
                     help="LMDB path or image directory; synthetic if empty")
     ap.add_argument("--out", required=True)
@@ -181,17 +187,42 @@ def main(argv=None):
         write_shard_range(text_path, *rng)
 
     # ---- image tower ------------------------------------------------
-    hf_vcfg = AutoConfig.from_pretrained(args.image_model)
-    hf_vit = AutoModel.from_pretrained(args.image_model)
-    if args.image_arch == "clip":
+    if args.image_arch == "eva":
+        # EVA ships as trust-remote-code upstream; offline we consume a
+        # local dir: config.json (vision geometry fields, optionally under
+        # "vision_config") + pytorch_model.bin in the EVA public naming.
+        import json as _json
+
+        import torch as _torch
+
+        from iisan_tpu.models import eva as jeva
+
+        with open(os.path.join(args.image_model, "config.json")) as f:
+            raw = _json.load(f)
+        vraw = raw.get("vision_config", raw)
+        from types import SimpleNamespace
+
+        hf_vcfg = SimpleNamespace(**vraw)
+        vit = jeva.encoder_from_hf_config(hf_vcfg)
+        sd = _torch.load(os.path.join(args.image_model, "pytorch_model.bin"),
+                         map_location="cpu", weights_only=True)
+        vit_params = jeva.params_from_eva_torch(
+            sd, num_layers=hf_vcfg.num_hidden_layers,
+            prefix=vraw.get("state_dict_prefix", ""),
+            sub_ln=getattr(hf_vcfg, "subln", True))
+    elif args.image_arch == "clip":
         from iisan_tpu.models import clip_vit as jclip
 
+        hf_vcfg = AutoConfig.from_pretrained(args.image_model)
+        hf_vit = AutoModel.from_pretrained(args.image_model)
         vcfg = getattr(hf_vcfg, "vision_config", hf_vcfg)
         vit = jclip.encoder_from_hf_config(vcfg)
         vit_params = jclip.params_from_hf_torch(
             hf_vit.state_dict(), num_layers=vcfg.num_hidden_layers)
         hf_vcfg = vcfg
     else:
+        hf_vcfg = AutoConfig.from_pretrained(args.image_model)
+        hf_vit = AutoModel.from_pretrained(args.image_model)
         vit = jvit.ViTEncoder(
             image_size=args.resize, patch_size=hf_vcfg.patch_size,
             hidden_dim=hf_vcfg.hidden_size,
@@ -211,8 +242,9 @@ def main(argv=None):
     else:
         print("WARNING: no image source - writing synthetic image states")
         img_store = SyntheticImageStore(args.resize)
-    img_out = "clip_outputs.memmap" if args.image_arch == "clip" \
-        else "vit_outputs.memmap"
+    img_out = {"clip": "clip_outputs.memmap",
+               "eva": "eva_outputs.memmap"}.get(args.image_arch,
+                                                "vit_outputs.memmap")
     lo, hi = my_range(len(corpus.item_names))
     img_path, rng = shard_dest(os.path.join(args.out, img_out),
                                len(corpus.item_names), lo, hi)
