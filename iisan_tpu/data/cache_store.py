@@ -207,7 +207,8 @@ class HiddenStateCache:
         if self._scales is not None:
             self._scales.flush()
 
-    def load_taps(self, layer_ids: Sequence[int], dtype: str = "float32"):
+    def load_taps(self, layer_ids: Sequence[int], dtype: str = "float32",
+                  num_threads: int = 8):
         """Gather only the SAN-selected layers: (n_items, K, dim).
 
         For BERT-base this halves HBM residency vs the full 13 layers; for
@@ -217,15 +218,87 @@ class HiddenStateCache:
         Float stores return a dense ndarray; an "int8" store returns
         QuantTaps (int8 rows + scales, 4x smaller than the fp32 array) -
         CachedTrainer consumes either form.
+
+        The gather is chunked and threaded with ``madvise(WILLNEED)``
+        prefetch per chunk: a plain ``arr[:, idx, :]`` on a cold memmap is
+        one thread of synchronous page faults in stride-K row hops, which
+        measured 86 s at the Llama x EVA geometry (VERSA_SCALE_eva.json) -
+        overlapping kernel readahead with the copy recovers most of the
+        raw-disk bandwidth even on a 1-core host.
         """
         idx = np.asarray(layer_ids)
+        taps = self._gather_items(self._arr, idx, num_threads)
         if self._scales is not None:
             from ..ops.quant import QuantTaps
 
-            q = np.ascontiguousarray(self._arr[:, idx, :])
             s = np.ascontiguousarray(self._scales[:, idx])[..., None]
-            return QuantTaps(q, s, out_dtype=dtype)
-        return np.ascontiguousarray(self._arr[:, idx, :]).astype(dtype)
+            return QuantTaps(taps, s, out_dtype=dtype)
+        return taps.astype(dtype, copy=False)
+
+    def _gather_items(self, arr: np.memmap, idx: np.ndarray,
+                      num_threads: int) -> np.ndarray:
+        """arr[:, idx, :] as a parallel chunked copy with readahead."""
+        import concurrent.futures as cf
+        import mmap as _mmap
+
+        n = arr.shape[0]
+        out = np.empty((n, len(idx), arr.shape[2]), arr.dtype)
+        # ~64 MB of source rows per chunk: big enough to amortize, small
+        # enough that WILLNEED prefetch stays within the page cache.
+        row_bytes = arr.shape[1] * arr.shape[2] * arr.dtype.itemsize
+        layer_bytes = arr.shape[2] * arr.dtype.itemsize
+        chunk = max(1, (64 << 20) // max(row_bytes, 1))
+        mm = getattr(arr, "_mmap", None)
+        page = getattr(_mmap, "PAGESIZE", 4096)
+        # consecutive selected layers coalesce into (first, count) runs so
+        # sparse selections (7 of 81 Llama layers) prefetch only their own
+        # byte ranges; dense selections stream the whole range instead
+        # (sequential readahead beats per-run calls past ~half the layers)
+        sorted_idx = np.unique(idx)
+        runs, run_start = [], int(sorted_idx[0])
+        for a, b in zip(sorted_idx[:-1], sorted_idx[1:]):
+            if b != a + 1:
+                runs.append((run_start, int(a) - run_start + 1))
+                run_start = int(b)
+        runs.append((run_start, int(sorted_idx[-1]) - run_start + 1))
+        dense = len(sorted_idx) / arr.shape[1] >= 0.5
+
+        def _willneed(start, length):
+            start_al = start - start % page
+            length += start - start_al
+            length = min(length, len(mm) - start_al)
+            if length > 0:
+                mm.madvise(_mmap.MADV_WILLNEED, start_al, length)
+
+        def advise(lo, hi):
+            if mm is None:
+                return
+            try:
+                if dense:
+                    _willneed(lo * row_bytes, (hi - lo) * row_bytes)
+                else:
+                    for i in range(lo, hi):
+                        base = i * row_bytes
+                        for first, count in runs:
+                            _willneed(base + first * layer_bytes,
+                                      count * layer_bytes)
+            except (AttributeError, ValueError, OSError):
+                pass  # madvise is advisory; platforms without it just copy
+
+        def copy(lo):
+            hi = min(lo + chunk, n)
+            advise(lo, hi)
+            out[lo:hi] = arr[lo:hi, idx, :]
+
+        starts = range(0, n, chunk)
+        if num_threads <= 1 or n <= chunk:
+            for lo in starts:
+                copy(lo)
+        else:
+            with cf.ThreadPoolExecutor(num_threads) as ex:
+                # materialize results so worker exceptions propagate
+                list(ex.map(copy, starts))
+        return out
 
     def load_full(self, dtype: str = "float32") -> np.ndarray:
         if self._scales is not None:

@@ -139,6 +139,12 @@ class Recommender:
         t = quantize_taps(np.asarray(self.fused_table,
                                      dtype=np.float32)[:, None, :],
                           out_dtype="float32")
+        # quantize_taps returns HOST numpy leaves; put them on device once.
+        # Leaving them host-side makes every _topk_step call re-upload the
+        # whole catalog table (the r2 int8-serving latency regression:
+        # 2-3x bf16 p50 was tunnel transfer, not int8 math).
+        t = QuantTaps(jnp.asarray(t.q), jnp.asarray(t.scale),
+                      out_dtype=t.out_dtype)
         return Recommender(self.model, self.params, t, self.max_seq_len)
 
     def save(self, path: str) -> None:
@@ -193,11 +199,15 @@ class Recommender:
             for p in parts[:-1]:
                 node = node.setdefault(p, {})
             node[parts[-1]] = z[key]
+        # Device-put the table and params at load time: npz arrays are
+        # host numpy, and host-side jit args re-transfer on every call.
         if "table_q" in z.files:
-            table = QuantTaps(z["table_q"], z["table_scale"],
+            table = QuantTaps(jnp.asarray(z["table_q"]),
+                              jnp.asarray(z["table_scale"]),
                               out_dtype="float32")
         else:
-            table = z["fused_table"]
+            table = jnp.asarray(z["fused_table"])
+        params = jax.tree_util.tree_map(jnp.asarray, params)
         L = int(z["max_seq_len"])
         dim = int(table.shape[-1])
         model = IISANRecModel(

@@ -122,33 +122,42 @@ def main():
     ap.add_argument("--out", default="SERVE_BENCH.json")
     ap.add_argument("--catalogs", default="21000,100000")
     ap.add_argument("--batches", default="1,32,256,2048")
-    ap.add_argument("--quant", choices=["none", "int8"], default="none",
-                    help="int8: bench the quantized-table serving path")
+    ap.add_argument("--quant", default="none",
+                    help="comma list of table modes to bench into one "
+                         "artifact (none = bf16/fp32 table, int8 = "
+                         "quantized); 'none,int8' gives the direct "
+                         "same-file comparison")
     ap.add_argument("--http", action="store_true",
                     help="also measure localhost HTTP round-trip rows")
     args = ap.parse_args()
+    quants = args.quant.split(",")
+    for q in quants:
+        if q not in ("none", "int8"):
+            ap.error(f"unknown --quant mode {q!r}")
 
     import jax
 
     platform = jax.devices()[0].platform
     rows = []
     for catalog in [int(c) for c in args.catalogs.split(",")]:
-        rec = build_recommender(catalog)
-        if args.quant == "int8":
-            rec = rec.quantize_table()
-        for batch in [int(b) for b in args.batches.split(",")]:
-            row = bench_latency(rec, catalog, batch)
-            row["quant"] = args.quant
-            rows.append(row)
-            print(f"catalog {catalog:>6} batch {batch:>5}: "
-                  f"p50 {row['p50_ms']:7.2f} ms  p95 {row['p95_ms']:7.2f} ms"
-                  f"  {row['users_per_s_p50']:>9} users/s", flush=True)
-            if args.http:
-                hrow = bench_http(rec, catalog, batch)
-                hrow["quant"] = args.quant
-                rows.append(hrow)
-                print(f"  http            : p50 {hrow['p50_ms']:7.2f} ms  "
-                      f"p95 {hrow['p95_ms']:7.2f} ms", flush=True)
+        base_rec = build_recommender(catalog)
+        for quant in quants:
+            rec = base_rec.quantize_table() if quant == "int8" else base_rec
+            for batch in [int(b) for b in args.batches.split(",")]:
+                row = bench_latency(rec, catalog, batch)
+                row["quant"] = quant
+                rows.append(row)
+                print(f"catalog {catalog:>6} batch {batch:>5} "
+                      f"[{quant:>4}]: "
+                      f"p50 {row['p50_ms']:7.2f} ms  "
+                      f"p95 {row['p95_ms']:7.2f} ms"
+                      f"  {row['users_per_s_p50']:>9} users/s", flush=True)
+                if args.http:
+                    hrow = bench_http(rec, catalog, batch)
+                    hrow["quant"] = quant
+                    rows.append(hrow)
+                    print(f"  http            : p50 {hrow['p50_ms']:7.2f} ms"
+                          f"  p95 {hrow['p95_ms']:7.2f} ms", flush=True)
     out = {"platform": platform,
            "note": ("latency includes the axon-tunnel host round trip "
                     "(~30 ms floor on this environment); large batches "

@@ -319,3 +319,34 @@ def test_start_item_resume_preserves_existing_rows(tmp_path):
     with pytest.raises(FileNotFoundError, match="resume"):
         build_text_cache(bert, params, tokens, str(tmp_path / "nothing"),
                          batch=4, dtype="float32", start_item=8)
+
+
+def test_load_taps_parallel_matches_serial(tmp_path):
+    """The threaded/madvise gather must equal the naive fancy index for
+    sparse, dense, unsorted and duplicate layer selections, in both float
+    and int8 stores."""
+    import numpy as np
+
+    from iisan_tpu.data.cache_store import HiddenStateCache
+    from iisan_tpu.ops.quant import QuantTaps, dequantize
+
+    rng = np.random.default_rng(0)
+    states = rng.standard_normal((37, 9, 8)).astype(np.float32)
+    for dtype in ("float32", "int8"):
+        st = HiddenStateCache.create(str(tmp_path / f"s_{dtype}"), 37, 9, 8,
+                                     dtype=dtype)
+        st.write_rows(1, states[1:])
+        st.flush()
+        for sel in ([1, 3, 5, 7], list(range(9)), [5, 1, 3], [2, 2, 4]):
+            got = st.load_taps(sel, num_threads=4)
+            got1 = st.load_taps(sel, num_threads=1)
+            if isinstance(got, QuantTaps):
+                got = np.asarray(dequantize(got), np.float32)
+                got1 = np.asarray(dequantize(got1), np.float32)
+                want = None  # int8 path: compare threaded vs serial only
+            else:
+                want = states[:, sel, :].copy()
+                want[0] = 0.0
+            np.testing.assert_array_equal(got, got1)
+            if want is not None:
+                np.testing.assert_allclose(got, want, atol=1e-6)

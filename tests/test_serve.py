@@ -489,3 +489,30 @@ def test_cli_save_as_quantized(tmp_path):
     want_ids, want_sc = rec.quantize_table().top_k([[1, 5, 9]], k=5)
     np.testing.assert_array_equal(got_ids, want_ids)
     np.testing.assert_allclose(got_sc, want_sc, rtol=1e-6)
+
+
+def test_serving_tables_are_device_resident(tmp_path):
+    """quantize_table() and load() must hand jit device-committed arrays:
+    host-numpy tables re-upload the whole catalog on EVERY top_k call
+    (the r2 int8-serving latency regression - 2-3x bf16 p50 was tunnel
+    transfer, not int8 math)."""
+    import jax
+
+    tr = make_trainer()
+    rec = Recommender.from_trainer(tr)
+
+    qrec = rec.quantize_table()
+    assert isinstance(qrec.fused_table.q, jax.Array)
+    assert isinstance(qrec.fused_table.scale, jax.Array)
+
+    p = str(tmp_path / "a.npz")
+    rec.save(p)
+    loaded = Recommender.load(p)
+    assert isinstance(loaded.fused_table, jax.Array)
+    assert all(isinstance(leaf, jax.Array)
+               for leaf in jax.tree_util.tree_leaves(loaded.params))
+
+    qp = str(tmp_path / "q.npz")
+    qrec.save(qp)
+    qloaded = Recommender.load(qp)
+    assert isinstance(qloaded.fused_table.q, jax.Array)
