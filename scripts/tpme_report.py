@@ -6,11 +6,14 @@ Runs every method in its own subprocess (scripts/tpme_single.py), collects
 table and writes TPME.json at the repo root.
 
     python scripts/tpme_report.py [method ...] [--merge] [--users N]
+        [--lmdb PATH]
 
 Default methods: all six.  --merge starts from prior TPME.json /
-TPME_partial.json records for methods not re-measured now.  --users N is
-forwarded to tpme_single.py and sizes the host-fed e2e epoch (e.g.
---users 12076 for a full unscaled Scientific epoch).
+TPME_partial.json records for methods not re-measured now.  --users N and
+--lmdb PATH are forwarded to tpme_single.py: --users sizes the host-fed
+e2e epoch (12076 = a full unscaled Scientific epoch); --lmdb feeds it
+from a reference-layout LMDB catalog (real host decode path; build one
+with scripts/make_synth_lmdb.py) instead of in-memory synthetic pixels.
 """
 
 import json
@@ -26,11 +29,12 @@ METHODS = ["iisan_cached", "iisan_uncached", "fft", "lora", "houlsby",
 def main():
     args = [a for a in sys.argv[1:] if a != "--merge"]
     merge = "--merge" in sys.argv[1:]
-    extra = []  # forwarded to tpme_single (e.g. --users 12076)
-    if "--users" in args:
-        i = args.index("--users")
-        extra = args[i:i + 2]
-        del args[i:i + 2]
+    extra = []  # forwarded to tpme_single (e.g. --users 12076, --lmdb p)
+    for flag in ("--users", "--lmdb"):
+        if flag in args:
+            i = args.index(flag)
+            extra += args[i:i + 2]
+            del args[i:i + 2]
     methods = args or METHODS
     records = []
     prior = {}

@@ -62,9 +62,23 @@ def measure_cached():
     }
 
 
+def _image_store():
+    """--lmdb PATH: feed the e2e epoch from a reference-layout LMDB
+    catalog (real host decode path: LMDB read -> pickle -> resize ->
+    normalize; build one with scripts/make_synth_lmdb.py).  Default stays
+    SyntheticImageStore (in-memory RNG pixels, no decode)."""
+    from iisan_tpu.data.images import LmdbImageStore, SyntheticImageStore
+
+    if "--lmdb" in sys.argv:
+        i = sys.argv.index("--lmdb")
+        if i + 1 >= len(sys.argv):
+            sys.exit("usage: tpme_single.py METHOD [--lmdb PATH]")
+        return LmdbImageStore(sys.argv[i + 1]), "lmdb"
+    return SyntheticImageStore(224), "synthetic"
+
+
 def measure_uncached(method: str):
     from iisan_tpu.config import IISANConfig
-    from iisan_tpu.data.images import SyntheticImageStore
     from iisan_tpu.data.synthetic import synthetic_corpus
     from iisan_tpu.train.uncached import UncachedTrainer
     from iisan_tpu.utils.tpme import trainable_param_count
@@ -115,7 +129,8 @@ def measure_uncached(method: str):
                       side_adapter_vit_list="1,3,5,7,9,11",
                       side_adapter_bert_list="1,3,5,7,9,11",
                       remat_towers=remat, **overrides)
-    tr = UncachedTrainer(cfg, corpus, tokens, SyntheticImageStore(224))
+    store, store_kind = _image_store()
+    tr = UncachedTrainer(cfg, corpus, tokens, store)
     b = tr.device_bench(n_steps=8)
     steps_per_epoch = -(-SCIENTIFIC_USERS // cfg.batch_size)
 
@@ -149,10 +164,16 @@ def measure_uncached(method: str):
              f"MEASURED host-fed run_epoch over {corpus.n_users} users "
              f"({e2e_wall:.1f}s wall) scaled linearly to "
              f"{SCIENTIFIC_USERS} users") +
-            "; images from SyntheticImageStore "
-            "(in-memory RNG pixels - no JPEG decode/LMDB read), host feed "
-            "tunnel/1-core-limited in this environment "
+            ("; images decoded from a reference-layout LMDB catalog "
+             "(REAL host decode path: LMDB read -> pickle -> resize -> "
+             "normalize; synthetic-content pixels, "
+             "scripts/make_synth_lmdb.py)"
+             if store_kind == "lmdb" else
+             "; images from SyntheticImageStore "
+             "(in-memory RNG pixels - no JPEG decode/LMDB read)") +
+            ", host feed tunnel/1-core-limited in this environment "
             "(docs/ROUND2_NOTES.md)",
+        "e2e_image_store": store_kind,
         "e2e_measured_users": corpus.n_users,
         "e2e_measured_seconds": e2e_wall,
         "trainable_params": trainable_param_count(tr),
