@@ -116,7 +116,13 @@ def build_optimizer(cfg, params, trainable_mask=None) -> optax.GradientTransform
 
     ``trainable_mask``: optional pytree of bools - False params get
     ``set_to_zero`` updates, the analog of requires_grad=False freezing
-    (run.py:154-160).
+    (run.py:154-160).  The Adam itself is masked to the TRAINABLE leaves:
+    frozen params carry no m/v state (torch creates optimizer state
+    lazily, so its frozen params never get any either) and no Adam math.
+    Before this masking the frozen towers' 200M-param zero-grad Adam was
+    ~1.6 GB of dead m/v state plus several full-HBM passes per step; with
+    it, the frozen updates are compile-time zeros, so XLA folds the
+    params passthrough AND dead-code-eliminates the tower backward.
     """
     lrs: Dict[str, float] = {
         "text_tower": cfg.fine_tune_lr_text,
@@ -130,8 +136,11 @@ def build_optimizer(cfg, params, trainable_mask=None) -> optax.GradientTransform
     tx = optax.multi_transform(transforms, param_labels(params))
     if trainable_mask is not None:
         tx = optax.chain(
+            # zero the frozen grads first (masked() would otherwise pass
+            # them through as updates) ...
             optax.masked(optax.set_to_zero(),
                          jax.tree_util.tree_map(lambda b: not b, trainable_mask)),
-            tx,
+            # ... then run Adam on the trainable leaves only
+            optax.masked(tx, trainable_mask),
         )
     return tx
