@@ -320,8 +320,19 @@ def main():
           f"of paper peak ({out['gemm_calibration']['tflops'] / (out['gemm_calibration']['ms'] / 1e3):.0f} TFLOPs)",
           flush=True)
     for bs in [int(b) for b in args.batches.split(",")]:
-        rows = measure_batch(bs, args.steps, peak)
+        try:
+            rows = measure_batch(bs, args.steps, peak)
+        except Exception as e:  # e.g. bs>=256 exceeds the remote-compile
+            # service's request-body limit (HTTP 413) in this environment
+            out["batches"][str(bs)] = {"error": f"{type(e).__name__}: {e}"[:300]}
+            print(f"bs {bs}: FAILED {type(e).__name__}", flush=True)
+            with open(args.out, "w") as fh:
+                json.dump(out, fh, indent=1)
+            continue
         out["batches"][str(bs)] = rows
+        # persist per batch: a late failure must not lose measured rows
+        with open(args.out, "w") as fh:
+            json.dump(out, fh, indent=1)
         f = rows["full_step"]
         print(f"bs {bs:>4}: step {f['ms']:7.2f} ms  {f['tflops']:.2f} TF  "
               f"MFU {f['mfu_vs_peak']:.3f}  "
