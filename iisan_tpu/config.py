@@ -167,6 +167,13 @@ class IISANConfig:
     # bf16, the scaling lever for IISAN-Versa's 8192-dim caches where the
     # tables (not the model) set the per-chip catalog ceiling.
     cache_quant: str = "none"
+    # Execution dtype of the frozen uncached towers: "int8" runs every
+    # tower matmul W8A8 on the MXU (2x the bf16 rate on v5e,
+    # ops/int8_linear.py) with weights quantized once at graft time.
+    # Requires towers_frozen() — jnp.rint's zero-derivative JVP would
+    # silently zero tower gradients for methods that train the towers
+    # (towers_from_config raises on the combination).
+    tower_quant: str = "none"
     # Fused Pallas encoder attention in the uncached towers
     # (ops/fused_attention.py); applies to the frozen-tower IISAN path
     # only (methods that train the towers always use the XLA path).

@@ -41,9 +41,13 @@ class BertSelfAttention(nn.Module):
     # fused bwd is undefined under dropout, so only frozen-tower paths
     # enable this (towers.py gating).
     fused: bool = False
+    # "int8": W8A8 projections on the MXU (ops/int8_linear.py) — frozen
+    # towers only (config.validate gates on towers_frozen()).
+    quant: str = "none"
 
     @nn.compact
     def __call__(self, x, attn_bias, deterministic: bool = True):
+        from ..ops.int8_linear import dense_or_int8
         from .peft import LoRADense
 
         d = x.shape[-1]
@@ -52,9 +56,9 @@ class BertSelfAttention(nn.Module):
             q = LoRADense(d, self.lora_rank, self.dtype, name="query")(x)
             v = LoRADense(d, self.lora_rank, self.dtype, name="value")(x)
         else:
-            q = nn.Dense(d, dtype=self.dtype, name="query")(x)
-            v = nn.Dense(d, dtype=self.dtype, name="value")(x)
-        k = nn.Dense(d, dtype=self.dtype, name="key")(x)
+            q = dense_or_int8(d, self.dtype, "query", self.quant)(x)
+            v = dense_or_int8(d, self.dtype, "value", self.quant)(x)
+        k = dense_or_int8(d, self.dtype, "key", self.quant)(x)
         b, t = x.shape[0], x.shape[1]
 
         if (self.fused and jax.default_backend() == "tpu"
@@ -93,17 +97,21 @@ class BertLayer(nn.Module):
     houlsby_down: int = 0       # Houlsby adapters (model.py:198-222 analog)
     adapter_activation: str = "RELU"
     fused_attention: bool = False
+    quant: str = "none"  # see BertSelfAttention.quant
 
     @nn.compact
     def __call__(self, x, attn_bias, deterministic: bool = True):
+        from ..ops.int8_linear import dense_or_int8
         from .peft import HoulsbyAdapter
 
         d = x.shape[-1]
         attn = BertSelfAttention(self.num_heads, self.dtype, self.dropout,
                                  self.lora_rank, fused=self.fused_attention,
+                                 quant=self.quant,
                                  name="attention")(
             x, attn_bias, deterministic)
-        attn = nn.Dense(d, dtype=self.dtype, name="attention_output")(attn)
+        attn = dense_or_int8(d, self.dtype, "attention_output",
+                             self.quant)(attn)
         attn = nn.Dropout(self.dropout)(attn, deterministic=deterministic)
         if self.houlsby_down > 0:
             # BertAdaptedSelfOutput: dense -> dropout -> adapter -> LN(+res)
@@ -112,10 +120,10 @@ class BertLayer(nn.Module):
         x = nn.LayerNorm(epsilon=1e-12, dtype=jnp.float32,
                          name="attention_layernorm")(
             (x + attn).astype(jnp.float32)).astype(self.dtype)
-        h = nn.Dense(self.intermediate_dim, dtype=self.dtype,
-                     name="intermediate")(x)
+        h = dense_or_int8(self.intermediate_dim, self.dtype,
+                          "intermediate", self.quant)(x)
         h = nn.gelu(h, approximate=False)
-        h = nn.Dense(d, dtype=self.dtype, name="output")(h)
+        h = dense_or_int8(d, self.dtype, "output", self.quant)(h)
         h = nn.Dropout(self.dropout)(h, deterministic=deterministic)
         if self.houlsby_down > 0:
             h = HoulsbyAdapter(self.houlsby_down, self.adapter_activation,
@@ -154,6 +162,7 @@ class BertEncoder(nn.Module):
     # attention-masked per-layer token mean (the Versa mean-pool cache
     # semantics, preprocess_llama-3-70b_micro.py:67-70).
     collect: str = "full"
+    quant: str = "none"  # see BertSelfAttention.quant
 
     @nn.compact
     def __call__(self, input_ids, attention_mask, deterministic: bool = True):
@@ -192,7 +201,7 @@ class BertEncoder(nn.Module):
             x = layer_cls(self.num_heads, self.intermediate_dim,
                           self.dtype, self.dropout, self.lora_rank,
                           self.houlsby_down, self.adapter_activation,
-                          self.fused_attention,
+                          self.fused_attention, self.quant,
                           name=f"layer_{i}")(x, bias, deterministic)
             hiddens.append(reduce(x))
         return x, jnp.stack(hiddens, axis=0)

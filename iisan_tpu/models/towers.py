@@ -219,6 +219,18 @@ def towers_from_config(cfg, dtype=None):
     (run.py:41-78's model-selection logic, config-driven instead of
     string-matched)."""
     dtype = dtype or jnp.dtype(cfg.compute_dtype)
+    quant = getattr(cfg, "tower_quant", "none")
+    if quant not in ("none", "int8"):
+        raise ValueError(f"unsupported tower_quant={quant!r} "
+                         "(expected 'none' or 'int8')")
+    if quant == "int8" and not cfg.towers_frozen():
+        # W8A8 towers are inference-only: jnp.rint's JVP is zero, so any
+        # method that trains the towers (fft/lora/houlsby/bitfit,
+        # fine_tune_to='all', finetune_layernorm) would silently get zero
+        # tower gradients — refuse loudly instead.
+        raise ValueError("tower_quant='int8' requires frozen towers "
+                         "(IISAN with fine_tune_to != 'all' and "
+                         "finetune_layernorm 'None')")
     peft = {
         "lora_rank": cfg.bert_adapter_down_size
         if cfg.adapter_type == "lora" and cfg.adding_adapter_to != "None" else 0,
@@ -239,6 +251,7 @@ def towers_from_config(cfg, dtype=None):
         dropout=td if td >= 0 else 0.1,
         fused_attention=cfg.towers_frozen()
         and getattr(cfg, "fused_tower_attention", True),
+        quant=quant,
         **peft,
     )
     vit_peft = dict(peft)
@@ -262,6 +275,7 @@ def towers_from_config(cfg, dtype=None):
         # towers and must take the module path).
         fused_attention=cfg.towers_frozen()
         and getattr(cfg, "fused_tower_attention", True),
+        quant=quant,
         **vit_peft,
     )
     # Pass the attribute widths whenever the active set is anything other

@@ -39,9 +39,13 @@ class ViTSelfAttention(nn.Module):
     # deterministic) and the backend is TPU; HF ViT-base has attention
     # dropout 0.0, so the frozen-tower training path qualifies.
     fused: bool = False
+    # "int8": W8A8 projections on the MXU (ops/int8_linear.py) — frozen
+    # towers only (config.validate gates on towers_frozen()).
+    quant: str = "none"
 
     @nn.compact
     def __call__(self, x, deterministic: bool = True):
+        from ..ops.int8_linear import dense_or_int8
         from .peft import LoRADense
 
         d = x.shape[-1]
@@ -50,9 +54,9 @@ class ViTSelfAttention(nn.Module):
             q = LoRADense(d, self.lora_rank, self.dtype, name="query")(x)
             v = LoRADense(d, self.lora_rank, self.dtype, name="value")(x)
         else:
-            q = nn.Dense(d, dtype=self.dtype, name="query")(x)
-            v = nn.Dense(d, dtype=self.dtype, name="value")(x)
-        k = nn.Dense(d, dtype=self.dtype, name="key")(x)
+            q = dense_or_int8(d, self.dtype, "query", self.quant)(x)
+            v = dense_or_int8(d, self.dtype, "value", self.quant)(x)
+        k = dense_or_int8(d, self.dtype, "key", self.quant)(x)
         b, t = x.shape[0], x.shape[1]
 
         if (self.fused and jax.default_backend() == "tpu"
@@ -85,9 +89,11 @@ class ViTBlock(nn.Module):
     houlsby_down: int = 0   # VITAdaptedSelfOutput/VITAdaptedOutput analog
     adapter_activation: str = "RELU"
     fused_attention: bool = False
+    quant: str = "none"  # see ViTSelfAttention.quant
 
     @nn.compact
     def __call__(self, x, deterministic: bool = True):
+        from ..ops.int8_linear import dense_or_int8
         from .peft import HoulsbyAdapter
 
         d = x.shape[-1]
@@ -96,8 +102,9 @@ class ViTBlock(nn.Module):
             x.astype(jnp.float32)).astype(self.dtype)
         h = ViTSelfAttention(self.num_heads, self.dtype, self.dropout,
                              self.lora_rank, fused=self.fused_attention,
+                             quant=self.quant,
                              name="attention")(h, deterministic)
-        h = nn.Dense(d, dtype=self.dtype, name="attention_output")(h)
+        h = dense_or_int8(d, self.dtype, "attention_output", self.quant)(h)
         h = nn.Dropout(self.dropout)(h, deterministic=deterministic)
         if self.houlsby_down > 0:
             # VITAdaptedSelfOutput: dense -> dropout -> adapter (model.py:225-238)
@@ -107,10 +114,10 @@ class ViTBlock(nn.Module):
         h = nn.LayerNorm(epsilon=1e-12, dtype=jnp.float32,
                          name="layernorm_after")(
             x.astype(jnp.float32)).astype(self.dtype)
-        h = nn.Dense(self.intermediate_dim, dtype=self.dtype,
-                     name="intermediate")(h)
+        h = dense_or_int8(self.intermediate_dim, self.dtype,
+                          "intermediate", self.quant)(h)
         h = nn.gelu(h, approximate=False)
-        h = nn.Dense(d, dtype=self.dtype, name="output")(h)
+        h = dense_or_int8(d, self.dtype, "output", self.quant)(h)
         h = nn.Dropout(self.dropout)(h, deterministic=deterministic)
         if self.houlsby_down > 0:
             # VITAdaptedOutput: dense -> dropout -> adapter -> +input
@@ -151,17 +158,20 @@ class ViTEncoder(nn.Module):
     # ~75 ms/step of pure dynamic-update-slice traffic at the uncached
     # training geometry (104 MB per stack) - 35% of the step.
     collect: str = "full"
+    quant: str = "none"  # see ViTSelfAttention.quant
 
     @nn.compact
     def __call__(self, images, deterministic: bool = True):
+        from ..ops.int8_linear import dense_or_int8
+
         b = images.shape[0]
         p = self.patch_size
         n = self.image_size // p  # 14
         # Patchify as reshape+matmul: (B, n, p, n, p, 3) -> (B, n*n, p*p*3).
         x = images.astype(self.dtype).reshape(b, n, p, n, p, 3)
         x = x.transpose(0, 1, 3, 2, 4, 5).reshape(b, n * n, p * p * 3)
-        x = nn.Dense(self.hidden_dim, dtype=self.dtype,
-                     name="patch_projection")(x)
+        x = dense_or_int8(self.hidden_dim, self.dtype,
+                          "patch_projection", self.quant)(x)
         cls = self.param("cls_token", nn.initializers.zeros,
                          (1, 1, self.hidden_dim))
         x = jnp.concatenate(
@@ -181,7 +191,7 @@ class ViTEncoder(nn.Module):
             x = layer_cls(self.num_heads, self.intermediate_dim,
                           self.dtype, self.dropout, self.lora_rank,
                           self.houlsby_down, self.adapter_activation,
-                          self.fused_attention,
+                          self.fused_attention, self.quant,
                           name=f"layer_{i}")(x, deterministic)
             hiddens.append(reduce(x))
         last = nn.LayerNorm(epsilon=1e-12, dtype=jnp.float32,

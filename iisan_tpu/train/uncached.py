@@ -126,6 +126,8 @@ class UncachedTrainer(TrainLoopMixin):
             deterministic=True)
         self.params = variables["params"]
         if tower_params:
+            if getattr(cfg, "tower_quant", "none") == "int8":
+                tower_params = _quantize_grafted("", tower_params)
             self.params = _graft_tower_params(self.params, tower_params)
         self.mask = trainable_mask(
             self.params, self.method,
@@ -164,10 +166,15 @@ class UncachedTrainer(TrainLoopMixin):
             # uint8 crosses the host->device boundary; normalize on device
             images = normalize_images(images_u8, dtype)
             rng, dropout_rng = jax.random.split(rng)
-            loss, grads = jax.value_and_grad(loss_fn)(
+            # allow_int: tower_quant='int8' puts int8 weight leaves in the
+            # tree; they are frozen (stop_gradient at the taps), so their
+            # grads are symbolic float0 zeros that never reach the Adam
+            loss, grads = jax.value_and_grad(loss_fn, allow_int=True)(
                 params, ids, images, tokens, mask, pop, dropout_rng)
             updates, opt_state = tx.update(grads, opt_state, params)
-            params = jax.tree_util.tree_map(lambda p, u: p + u, params, updates)
+            params = jax.tree_util.tree_map(
+                lambda p, u: p if u.dtype == jax.dtypes.float0 else p + u,
+                params, updates)
             return params, opt_state, rng, loss
 
         return step
@@ -394,3 +401,19 @@ def _graft_tower_params(params, tower_params):
             node = node[p]
         node[parts[-1]] = sub
     return out
+
+
+def _quantize_grafted(path, sub):
+    """tower_quant='int8' graft conversion: float {kernel, bias} dense
+    dicts inside the encoder subtrees ('bert' / 'vit' path components)
+    become Int8Dense {kernel_q, kscale, bias}; the trainable heads
+    (fc / classifier) and everything else stay float."""
+    from ..ops.int8_linear import quantize_dense_tree
+
+    parts = [p for p in path.split("/") if p]
+    if "bert" in parts or "vit" in parts:
+        return quantize_dense_tree(sub)
+    if isinstance(sub, dict):
+        return {k: _quantize_grafted(f"{path}/{k}", v)
+                for k, v in sub.items()}
+    return sub

@@ -31,7 +31,7 @@ V5E_BF16_PEAK_FLOPS = 197e12  # TPU v5e (v5 lite) bf16 peak per chip
 
 
 def run_uncached_bench(n_users=512, batch_size=32, n_steps=10,
-                       measure_e2e=True):
+                       measure_e2e=True, tower_quant="none"):
     from iisan_tpu.config import IISANConfig
     from iisan_tpu.data.images import SyntheticImageStore
     from iisan_tpu.data.synthetic import synthetic_corpus
@@ -42,7 +42,8 @@ def run_uncached_bench(n_users=512, batch_size=32, n_steps=10,
         adapter_type="IISAN", adding_adapter_to="all", fine_tune_to="None",
         side_adapter_vit_list="1,3,5,7,9,11",
         side_adapter_bert_list="1,3,5,7,9,11",
-        lr=2e-4, adapter_cv_lr=1e-4, adapter_bert_lr=1e-4, seed=12345)
+        lr=2e-4, adapter_cv_lr=1e-4, adapter_bert_lr=1e-4, seed=12345,
+        tower_quant=tower_quant)
     corpus = synthetic_corpus(n_users=n_users, item_num=800, seed=0)
     rng = np.random.default_rng(0)
     tokens = np.zeros((corpus.item_num + 1, 60), np.int32)
