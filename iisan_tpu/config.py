@@ -169,7 +169,10 @@ class IISANConfig:
     cache_quant: str = "none"
     # Execution dtype of the frozen uncached towers: "int8" runs every
     # tower matmul W8A8 on the MXU (2x the bf16 rate on v5e,
-    # ops/int8_linear.py) with weights quantized once at graft time.
+    # ops/int8_linear.py) with weights quantized once at graft time;
+    # "int8_pallas" opts into the fused one-pass kernel
+    # (ops/int8_pallas.py — measured slower than the XLA formulation at
+    # the shipped geometries, kept for wide-matmul headroom).
     # Requires towers_frozen() — jnp.rint's zero-derivative JVP would
     # silently zero tower gradients for methods that train the towers
     # (towers_from_config raises on the combination).

@@ -220,10 +220,10 @@ def towers_from_config(cfg, dtype=None):
     string-matched)."""
     dtype = dtype or jnp.dtype(cfg.compute_dtype)
     quant = getattr(cfg, "tower_quant", "none")
-    if quant not in ("none", "int8"):
+    if quant not in ("none", "int8", "int8_pallas"):
         raise ValueError(f"unsupported tower_quant={quant!r} "
-                         "(expected 'none' or 'int8')")
-    if quant == "int8" and not cfg.towers_frozen():
+                         "(expected 'none', 'int8' or 'int8_pallas')")
+    if quant != "none" and not cfg.towers_frozen():
         # W8A8 towers are inference-only: jnp.rint's JVP is zero, so any
         # method that trains the towers (fft/lora/houlsby/bitfit,
         # fine_tune_to='all', finetune_layernorm) would silently get zero

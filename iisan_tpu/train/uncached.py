@@ -126,7 +126,7 @@ class UncachedTrainer(TrainLoopMixin):
             deterministic=True)
         self.params = variables["params"]
         if tower_params:
-            if getattr(cfg, "tower_quant", "none") == "int8":
+            if getattr(cfg, "tower_quant", "none") != "none":
                 tower_params = _quantize_grafted("", tower_params)
             self.params = _graft_tower_params(self.params, tower_params)
         self.mask = trainable_mask(

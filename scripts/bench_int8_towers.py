@@ -8,7 +8,12 @@ relative-error row at the real BERT-base/ViT-base geometry quantifying
 what int8 does to the SAN's inputs.
 
 Writes INT8_TOWER_AB.json.  Usage:
-    python scripts/bench_int8_towers.py [--batches 32,64] [--steps 10]
+    python scripts/bench_int8_towers.py [--batches 32,64] [--steps 10] \
+        [--quants none,int8,int8_pallas]
+
+--quants selects the tower_quant modes measured (the 'int8_pallas' row
+exercises the opt-in fused kernel, ops/int8_pallas.py); speedup keys are
+named speedup_bs{B} for int8 and speedup_bs{B}_{quant} otherwise.
 """
 
 import json
@@ -77,6 +82,9 @@ def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--batches", default="32,64")
     ap.add_argument("--steps", type=int, default=10)
+    ap.add_argument("--quants", default="none,int8",
+                    help="comma list of tower_quant modes to measure "
+                         "(none, int8, int8_pallas)")
     ap.add_argument("--out", default="INT8_TOWER_AB.json")
     args = ap.parse_args()
     enable_compilation_cache()
@@ -87,7 +95,7 @@ def main():
               "geometry": "BERT-base + ViT-base/16 224px, IISAN uncached",
               "rows": []}
     for bs in [int(b) for b in args.batches.split(",")]:
-        for quant in ("none", "int8"):
+        for quant in args.quants.split(","):
             r = run_uncached_bench(batch_size=bs, n_steps=args.steps,
                                    measure_e2e=False, tower_quant=quant)
             r.update(batch_size=bs, tower_quant=quant)
@@ -97,10 +105,17 @@ def main():
     print(json.dumps(report["tap_error"]))
     rows = {(r["batch_size"], r["tower_quant"]): r for r in report["rows"]}
     for bs in sorted({r["batch_size"] for r in report["rows"]}):
-        f, q = rows[(bs, "none")], rows[(bs, "int8")]
-        report[f"speedup_bs{bs}"] = round(
-            q["uncached_device_users_per_sec"]
-            / f["uncached_device_users_per_sec"], 3)
+        base = rows.get((bs, "none"))
+        if base is None:
+            continue
+        for quant in args.quants.split(","):
+            q = rows.get((bs, quant))
+            if quant == "none" or q is None:
+                continue
+            suffix = "" if quant == "int8" else f"_{quant}"
+            report[f"speedup_bs{bs}{suffix}"] = round(
+                q["uncached_device_users_per_sec"]
+                / base["uncached_device_users_per_sec"], 3)
     with open(args.out, "w") as fh:
         json.dump(report, fh, indent=1)
     print(json.dumps({"wrote": args.out,

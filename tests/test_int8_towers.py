@@ -15,6 +15,12 @@ from iisan_tpu.config import IISANConfig
 from iisan_tpu.ops.int8_linear import (Int8Dense, int8_matmul,
                                        quantize_dense_tree, quantize_kernel)
 
+cpu_only = pytest.mark.skipif(
+    jax.default_backend() == "tpu",
+    reason="interpret-mode tolerances are defined on the CPU tier")
+requires_tpu = pytest.mark.skipif(
+    jax.default_backend() != "tpu", reason="needs the real TPU")
+
 
 def tiny_cfg(**kw):
     base = dict(
@@ -117,6 +123,104 @@ def test_quantize_dense_tree_leaves_non_dense_nodes_alone():
     assert set(out["word_embeddings"]) == {"embedding"}
     np.testing.assert_array_equal(out["position_embeddings"],
                                   tree["position_embeddings"])
+
+
+# ---------------------------------------------------------------------------
+# fused Pallas W8A8 kernel (ops/int8_pallas.py)
+# ---------------------------------------------------------------------------
+
+def _pallas_case(M, K, N, with_bias, seed=0):
+    rng = np.random.default_rng(seed)
+    x = jnp.asarray(rng.standard_normal((M, K)) * 0.3, jnp.float32)
+    w = rng.standard_normal((K, N)).astype(np.float32) * 0.05
+    q, s = quantize_kernel(w)
+    b = jnp.asarray(rng.standard_normal(N), jnp.float32) if with_bias \
+        else None
+    return x, jnp.asarray(q), jnp.asarray(s), b
+
+
+@cpu_only
+@pytest.mark.parametrize("M,K,N,with_bias", [
+    (300, 256, 384, True),    # row padding (300 -> block multiple)
+    (512, 128, 128, False),   # no bias
+    (7, 256, 256, True),      # fewer rows than one block
+    (1000, 768, 3072, True),  # N-blocked (ViT MLP geometry)
+])
+def test_fused_w8a8_matches_xla(M, K, N, with_bias):
+    """The one-pass kernel reproduces the XLA int8 formulation.  Not
+    bitwise: the absmax/127 division can differ by 1 ulp across backends,
+    flipping rint on exact-.5 ties (module docstring), so the tolerance
+    is relative."""
+    from iisan_tpu.ops.int8_pallas import fused_w8a8_matmul, supported
+
+    assert supported(K, N, 4, 4)
+    x, q, s, b = _pallas_case(M, K, N, with_bias)
+    y_xla = np.asarray(int8_matmul(x, q, s, b, jnp.float32))
+    y_pal = np.asarray(fused_w8a8_matmul(x, q, s, b, jnp.float32,
+                                         interpret=True))
+    rel = np.linalg.norm(y_pal - y_xla) / max(np.linalg.norm(y_xla), 1e-9)
+    assert rel < 1e-3, rel
+
+
+@cpu_only
+def test_fused_w8a8_3d_and_grad():
+    from iisan_tpu.ops.int8_pallas import fused_w8a8_matmul
+
+    rng = np.random.default_rng(3)
+    x3 = jnp.asarray(rng.standard_normal((4, 75, 256)) * 0.3, jnp.float32)
+    w = rng.standard_normal((256, 128)).astype(np.float32) * 0.05
+    q, s = quantize_kernel(w)
+    q, s = jnp.asarray(q), jnp.asarray(s)
+    y_xla = np.asarray(int8_matmul(x3, q, s, None, jnp.float32))
+    y_pal = np.asarray(fused_w8a8_matmul(x3, q, s, None, jnp.float32,
+                                         interpret=True))
+    assert y_pal.shape == (4, 75, 128)
+    rel = np.linalg.norm(y_pal - y_xla) / np.linalg.norm(y_xla)
+    assert rel < 1e-3, rel
+    # the custom VJP is the autodiff of the XLA formulation: rint blocks
+    # the main path but gradient flows through the absmax -> scale chain
+    g_pal = jax.grad(lambda xx: fused_w8a8_matmul(
+        xx, q, s, None, jnp.float32, interpret=True).sum())(x3)
+    g_xla = jax.grad(lambda xx: int8_matmul(
+        xx, q, s, None, jnp.float32).sum())(x3)
+    np.testing.assert_allclose(np.asarray(g_pal), np.asarray(g_xla),
+                               rtol=1e-4, atol=1e-6)
+
+
+@cpu_only
+def test_fused_w8a8_unsupported_geometry():
+    from iisan_tpu.ops.int8_pallas import supported
+
+    assert not supported(257, 128)   # K not lane-aligned
+    assert not supported(128, 130)   # N not lane-aligned
+
+
+def test_int8dense_pallas_impl_falls_back_off_tpu():
+    """impl='pallas' silently takes the XLA path on CPU (backend gate) —
+    the module stays runnable everywhere."""
+    rng = np.random.default_rng(4)
+    x = jnp.asarray(rng.standard_normal((32, 128)), jnp.float32)
+    dense = Int8Dense(128, dtype=jnp.float32, impl="pallas")
+    params = dense.init(jax.random.PRNGKey(0), x)["params"]
+    y = dense.apply({"params": params}, x)
+    y_ref = Int8Dense(128, dtype=jnp.float32).apply({"params": params}, x)
+    if jax.default_backend() != "tpu":
+        np.testing.assert_array_equal(np.asarray(y), np.asarray(y_ref))
+    else:
+        rel = (np.linalg.norm(np.asarray(y) - np.asarray(y_ref))
+               / max(np.linalg.norm(np.asarray(y_ref)), 1e-9))
+        assert rel < 1e-3, rel
+
+
+@requires_tpu
+def test_fused_w8a8_on_chip_matches_xla():
+    from iisan_tpu.ops.int8_pallas import fused_w8a8_matmul
+
+    x, q, s, b = _pallas_case(1024, 768, 768, True)
+    y_xla = np.asarray(int8_matmul(x, q, s, b, jnp.float32))
+    y_pal = np.asarray(fused_w8a8_matmul(x, q, s, b, jnp.float32))
+    rel = np.linalg.norm(y_pal - y_xla) / np.linalg.norm(y_xla)
+    assert rel < 1e-3, rel
 
 
 # ---------------------------------------------------------------------------
