@@ -21,8 +21,26 @@ fires — instead an attempt dies when it gains fewer than
 IISAN_BENCH_MIN_TICKS (default 10 = 100 ms CPU) over an
 IISAN_BENCH_STALL window (default 360 s; healthy compile/transfer
 phases burn orders of magnitude more).  Other tunables:
-IISAN_BENCH_ATTEMPTS (default 3), IISAN_BENCH_TIMEOUT (wall cap per
-attempt, s, default 1500), IISAN_BENCH_POLL (s, default 5).
+IISAN_BENCH_ATTEMPTS (default 2), IISAN_BENCH_TIMEOUT (wall cap per
+attempt, s, default 650), IISAN_BENCH_TOTAL (overall supervisor budget,
+s, default 1380), IISAN_BENCH_POLL (s, default 5).
+
+Evidence-always design (round-3 postmortem, VERDICT r3 next #1: the
+driver's ~30-min outer timeout killed the supervisor before any JSON
+line existed, forfeiting the round's headline):
+  (a) the child prints+flushes a provisional headline JSON line after
+      the single-dispatch timing and again the moment the fused-dispatch
+      epoch_s exists, BEFORE the slower uncached section — a kill
+      mid-uncached can no longer destroy the cached headline;
+  (b) the supervisor salvages the LAST JSON line from a killed or
+      failed child's partial output, stamps it "degraded", and keeps the
+      best line seen across attempts — emitted (rc 0) if no attempt
+      completes cleanly;
+  (c) the envelope fits the outer budget: 2 attempts x 650 s + polling
+      under a hard IISAN_BENCH_TOTAL deadline (default 1380 s ~= 23 min
+      < the driver's cap); a new attempt is never started with < 120 s
+      of budget left.
+A full healthy run takes < 10 min on the chip (judge-measured r3).
 """
 
 import json
@@ -77,6 +95,19 @@ def main():
         trainer.run_epoch(ep)
         single_times.append(time.time() - t0)
     single_s = float(np.median(single_times))
+    # Provisional headline the moment a real epoch time exists: if the
+    # supervisor (or the driver) kills this child during the fused-dispatch
+    # or uncached phases, this line is salvaged as the round's evidence.
+    print(json.dumps({
+        "metric": "cached_epoch_seconds_scientific",
+        "value": round(single_s, 4),
+        "unit": "s",
+        "vs_baseline": round(BASELINE_EPOCH_S / single_s, 2),
+        "timing_basis": "provisional: median of 3 single-dispatch epochs "
+                        "(includes ~30ms/dispatch tunnel round-trip; the "
+                        "fused-dispatch headline that normally follows is "
+                        "strictly faster)",
+    }), flush=True)
 
     # Steady-state training rate: N epochs per device dispatch
     # (CachedTrainer.run_epochs, bit-identical math to sequential
@@ -100,6 +131,10 @@ def main():
                         "epochs; amortizes per-dispatch tunnel overhead)",
         "epoch_seconds_single_dispatch": round(single_s, 4),
     }
+    # Flush the real (fused-dispatch) headline BEFORE the uncached section:
+    # the uncached bench is the slow tail (tower compile + scan), and a kill
+    # there must not cost the cached number (round-3 postmortem).
+    print(json.dumps(out), flush=True)
     # Secondary (driver-readable) metrics on the same line: the honest
     # device-bound uncached numbers (VERDICT r1 next #4) - users/s from a
     # blocked jitted scan + MFU from the executable's own FLOP count.
@@ -110,7 +145,7 @@ def main():
         out.update(run_uncached_bench(measure_e2e=False))
     except Exception as e:  # never break the primary metric
         out["uncached_error"] = f"{type(e).__name__}: {e}"[:200]
-    print(json.dumps(out))
+    print(json.dumps(out), flush=True)
 
 
 def _cpu_ticks(pid: int):
@@ -122,14 +157,44 @@ def _cpu_ticks(pid: int):
         return None
 
 
+def _last_json_line(text: str):
+    """Last parseable JSON-object line of a child's (possibly partial) stdout."""
+    for ln in reversed(text.splitlines()):
+        ln = ln.strip()
+        if ln.startswith("{"):
+            try:
+                return json.loads(ln)
+            except ValueError:
+                continue
+    return None
+
+
 def supervise(cmd=None) -> int:
-    """Run main() in a child; kill+retry on wall timeout or CPU stall."""
-    attempts = int(os.environ.get("IISAN_BENCH_ATTEMPTS", "3"))
-    wall_cap = float(os.environ.get("IISAN_BENCH_TIMEOUT", "1500"))
+    """Run main() in a child; kill+retry on wall timeout or CPU stall.
+
+    Never discards evidence: a killed/failed child's partial stdout is
+    scanned for its last JSON line, which is kept (stamped "degraded")
+    and emitted if no attempt completes cleanly.  The whole supervisor
+    honors a hard IISAN_BENCH_TOTAL deadline so the driver's outer
+    timeout can't strike first (round-3 postmortem: BENCH_r03.json
+    rc 124 / parsed null).
+    """
+    attempts = int(os.environ.get("IISAN_BENCH_ATTEMPTS", "2"))
+    wall_cap = float(os.environ.get("IISAN_BENCH_TIMEOUT", "650"))
+    total_cap = float(os.environ.get("IISAN_BENCH_TOTAL", "1380"))
     stall_cap = float(os.environ.get("IISAN_BENCH_STALL", "360"))
     poll_s = float(os.environ.get("IISAN_BENCH_POLL", "5"))
     cmd = cmd or [sys.executable, os.path.abspath(__file__), "--inner"]
+    sup_t0 = time.time()
+    salvaged = None  # best degraded result seen across attempts
     for attempt in range(1, attempts + 1):
+        budget_left = total_cap - (time.time() - sup_t0)
+        if budget_left < 120:
+            print(f"bench: skipping attempt {attempt}: only "
+                  f"{budget_left:.0f}s of IISAN_BENCH_TOTAL left",
+                  file=sys.stderr)
+            break
+        attempt_cap = min(wall_cap, budget_left)
         # child stdout goes to a temp file, not a pipe: nobody drains a
         # pipe during the run, and a chatty child blocking on a full pipe
         # buffer at 0% CPU would look exactly like a tunnel hang
@@ -156,24 +221,38 @@ def supervise(cmd=None) -> int:
                         reason = (f"only {gained} CPU ticks in "
                                   f"{stall_cap:.0f}s (tunnel hang)")
                     win_ticks, win_start = ticks, time.time()
-                if not reason and time.time() - t0 > wall_cap:
-                    reason = f"wall cap {wall_cap:.0f}s exceeded"
+                if not reason and time.time() - t0 > attempt_cap:
+                    reason = f"wall cap {attempt_cap:.0f}s exceeded"
                 if reason:
                     child.kill()
                     child.wait()
                     break
             out_f.seek(0)
             out = out_f.read()
-        if child.returncode == 0:
-            line = next((ln for ln in reversed(out.splitlines())
-                         if ln.startswith("{")), None)
-            if line:
-                print(line)
-                return 0
-            reason = "child exited 0 without a JSON line"
-        reason = reason or f"child exited {child.returncode}"
-        print(f"bench attempt {attempt}/{attempts} failed: {reason}",
+        parsed = _last_json_line(out)
+        if child.returncode == 0 and parsed is not None:
+            print(json.dumps(parsed))
+            return 0
+        reason = (reason or (f"child exited {child.returncode}"
+                             if child.returncode != 0
+                             else "child exited 0 without a JSON line"))
+        if parsed is not None:
+            # Partial evidence beats none: a kill mid-uncached still
+            # leaves the flushed cached-headline line in the temp file.
+            parsed["degraded"] = reason
+            # Prefer later salvage (more phases completed) at equal
+            # completeness; a line carrying uncached numbers wins.
+            better = (salvaged is None
+                      or ("uncached_device_users_per_sec" in parsed)
+                      >= ("uncached_device_users_per_sec" in salvaged))
+            if better:
+                salvaged = parsed
+        print(f"bench attempt {attempt}/{attempts} failed: {reason}"
+              + (" (salvaged partial JSON)" if parsed is not None else ""),
               file=sys.stderr)
+    if salvaged is not None:
+        print(json.dumps(salvaged))
+        return 0
     return 1
 
 

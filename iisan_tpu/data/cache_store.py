@@ -243,6 +243,8 @@ class HiddenStateCache:
 
         n = arr.shape[0]
         out = np.empty((n, len(idx), arr.shape[2]), arr.dtype)
+        if len(idx) == 0:  # preserve arr[:, [], :] semantics (ADVICE r3)
+            return out
         # ~64 MB of source rows per chunk: big enough to amortize, small
         # enough that WILLNEED prefetch stays within the page cache.
         row_bytes = arr.shape[1] * arr.shape[2] * arr.dtype.itemsize

@@ -161,6 +161,13 @@ def fused_w8a8_matmul(x, kernel_q, kscale, bias, out_dtype,
     xsz = jnp.dtype(x.dtype).itemsize
     osz = jnp.dtype(out_dtype).itemsize
     bm, _ = _pick_blocks(K, N, xsz, osz)
+    if bm == 0 or K % _LANES or N % _LANES:
+        raise ValueError(
+            f"fused_w8a8_matmul: unsupported geometry K={K}, N={N}, "
+            f"x dtype={jnp.dtype(x.dtype).name} (K and N must be "
+            f"multiples of {_LANES} and a block must fit the "
+            f"{_VMEM_BUDGET >> 20} MB VMEM budget); gate callers on "
+            "int8_pallas.supported(K, N)")
     Mp = ((M + bm - 1) // bm) * bm
     if Mp != M:
         x2 = jnp.pad(x2, ((0, Mp - M), (0, 0)))
@@ -191,20 +198,19 @@ def fused_w8a8_matmul(x, kernel_q, kscale, bias, out_dtype,
 
         x2, kernel_q, kscale2, rest = res
         b = rest[0] if rest else None
-        diff_args = (x2,) + ((b,) if b is not None else ())
+        diff_args = (x2, kscale2) + ((b,) if b is not None else ())
 
         def f(*da):
-            xx = da[0]
-            bb = da[1] if b is not None else None
-            return int8_matmul(xx, kernel_q, kscale2.reshape(-1), bb,
-                               g.dtype)
+            xx, ks = da[0], da[1]
+            bb = da[2] if b is not None else None
+            return int8_matmul(xx, kernel_q, ks.reshape(-1), bb, g.dtype)
 
         _, vjp = jax.vjp(f, *diff_args)
         grads = vjp(g)
-        dx = grads[0]
-        db = (grads[1],) if b is not None else ()
+        dx, dks = grads[0], grads[1].reshape(kscale2.shape)
+        db = (grads[2],) if b is not None else ()
         zero_int = np.zeros(kernel_q.shape, jax.dtypes.float0)
-        return (dx, zero_int, jnp.zeros_like(kscale2)) + db
+        return (dx, zero_int, dks) + db
 
     run.defvjp(run_fwd, run_bwd)
     y = run(*args)

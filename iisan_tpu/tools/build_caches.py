@@ -242,9 +242,13 @@ def main(argv=None):
     else:
         print("WARNING: no image source - writing synthetic image states")
         img_store = SyntheticImageStore(args.resize)
+    # eva writes eva_clip_outputs.memmap: that is the cached_image_model
+    # name the shipped Versa eva preset consumes (scripts/run_IISAN_versa.py,
+    # mirroring reference process_eva_clip_vectors.py's prefix), so builder
+    # output feeds the preset without a rename.
     img_out = {"clip": "clip_outputs.memmap",
-               "eva": "eva_outputs.memmap"}.get(args.image_arch,
-                                                "vit_outputs.memmap")
+               "eva": "eva_clip_outputs.memmap"}.get(args.image_arch,
+                                                     "vit_outputs.memmap")
     lo, hi = my_range(len(corpus.item_names))
     img_path, rng = shard_dest(os.path.join(args.out, img_out),
                                len(corpus.item_names), lo, hi)

@@ -99,6 +99,15 @@ def main():
             r = run_uncached_bench(batch_size=bs, n_steps=args.steps,
                                    measure_e2e=False, tower_quant=quant)
             r.update(batch_size=bs, tower_quant=quant)
+            if "pallas" in quant:
+                # XLA's executable cost analysis cannot see inside a
+                # Pallas kernel, so these fields count only the
+                # non-Pallas remainder of the step (VERDICT r3 weak #4)
+                r["flops_basis_caveat"] = (
+                    "uncached_tflops_per_step / uncached_mfu EXCLUDE the "
+                    "Pallas kernel's FLOPs (invisible to XLA cost "
+                    "analysis); only step_ms / users_per_sec / memory are "
+                    "comparable across rows")
             report["rows"].append(r)
             print(json.dumps(r))
     report["tap_error"] = tap_error_at_real_geometry()

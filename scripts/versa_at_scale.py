@@ -48,11 +48,16 @@ def main():
                          "load_taps host transient (QuantTaps flows "
                          "straight to the trainer, implying int8 device "
                          "tables whatever --cache_quant says)")
-    ap.add_argument("--geometry", default="llama", choices=["llama", "eva"],
+    ap.add_argument("--geometry", default="llama",
+                    choices=["llama", "eva", "bertlarge"],
                     help="llama: Llama-3-70B text x ViT-tiny image "
                          "(script/run_IISAN.py:52-64). eva: BERT-large "
                          "text x EVA-CLIP-18B vision, 49x5120 taps "
-                         "'2,11,20,29,38,47' (script/run_IISAN_eva.py)")
+                         "'2,11,20,29,38,47' (script/run_IISAN_eva.py). "
+                         "bertlarge: BERT-large 25x1024 x ViT-base 13x768 "
+                         "(preprocess_bert_large_micro.py + "
+                         "run_IISAN_micro.py:15) — the third published "
+                         "Versa pairing")
     args = ap.parse_args()
 
     from iisan_tpu.utils.compile_cache import enable_compilation_cache
@@ -76,7 +81,7 @@ def main():
                     side_adapter_vit_list="1,3,5,7,9,11")
         text_geom, img_geom = (81, 8192), (13, 192)
         text_name, img_name = "llama70b.memmap", "vit_tiny.memmap"
-    else:
+    elif args.geometry == "eva":
         # Llama-3-70B text x EVA-CLIP-18B vision — the reference's
         # heaviest published pairing (script/run_IISAN_eva.py:56-65:
         # text 80x8192 taps "4,19,34,49,64,79", vision 48x5120 taps
@@ -87,6 +92,16 @@ def main():
                     side_adapter_vit_list="2,11,20,29,38,47")
         text_geom, img_geom = (81, 8192), (49, 5120)
         text_name, img_name = "llama70b.memmap", "eva18b.memmap"
+    else:
+        # BERT-large 25x1024 x ViT-base 13x768 — the third published Versa
+        # pairing (preprocess_bert_large_micro.py:83, taps per
+        # scripts/run_IISAN_versa.py bertlarge preset)
+        geom = dict(text_embedding_dim=1024, text_layers=24,
+                    side_adapter_bert_list="1,5,9,13,17,23",
+                    image_embedding_dim=768, image_layers=12,
+                    side_adapter_vit_list="1,3,5,7,9,11")
+        text_geom, img_geom = (25, 1024), (13, 768)
+        text_name, img_name = "bert_large.memmap", "vit_base.memmap"
     cfg = IISANConfig(
         pipeline="cached_asym", batch_size=64, epoch=args.epochs,
         embedding_dim=64, seed=12345,

@@ -350,3 +350,17 @@ def test_load_taps_parallel_matches_serial(tmp_path):
             np.testing.assert_array_equal(got, got1)
             if want is not None:
                 np.testing.assert_allclose(got, want, atol=1e-6)
+
+
+def test_load_taps_empty_selection(tmp_path):
+    """load_taps([]) keeps numpy's arr[:, [], :] semantics — an empty
+    (n, 0, dim) array, not IndexError (ADVICE r3)."""
+    import numpy as np
+
+    from iisan_tpu.data.cache_store import HiddenStateCache
+
+    st = HiddenStateCache.create(str(tmp_path / "s"), 5, 4, 8)
+    st.write_rows(1, np.ones((4, 4, 8), np.float32))
+    st.flush()
+    got = st.load_taps([])
+    assert got.shape == (5, 0, 8)

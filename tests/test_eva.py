@@ -276,7 +276,9 @@ def test_build_caches_cli_eva_end_to_end(tmp_path, monkeypatch):
 
     from iisan_tpu.data.cache_store import HiddenStateCache
 
-    img_store = HiddenStateCache.open(str(out / "eva_outputs.memmap"))
+    # builder output name must match what the shipped Versa eva preset's
+    # cached_image_model="eva_clip_outputs" opens (ADVICE r3 medium)
+    img_store = HiddenStateCache.open(str(out / "eva_clip_outputs.memmap"))
     assert (img_store.meta.n_layers, img_store.meta.dim) == (4, 32)
 
     # cached_asym training consumes the produced caches end-to-end
@@ -289,7 +291,7 @@ def test_build_caches_cli_eva_end_to_end(tmp_path, monkeypatch):
         news="items.tsv", images="items.tsv",
         stored_vector_path=str(out),
         cached_text_model="bert_outputs", cached_text_prefix="bert",
-        cached_image_model="eva_outputs", cached_image_prefix="eva",
+        cached_image_model="eva_clip_outputs", cached_image_prefix="eva",
         text_layers=3, text_embedding_dim=24,
         image_layers=3, image_embedding_dim=32,
         side_adapter_bert_list="0,2", side_adapter_vit_list="0,2",

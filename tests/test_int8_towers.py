@@ -185,14 +185,30 @@ def test_fused_w8a8_3d_and_grad():
         xx, q, s, None, jnp.float32).sum())(x3)
     np.testing.assert_allclose(np.asarray(g_pal), np.asarray(g_xla),
                                rtol=1e-4, atol=1e-6)
+    # kscale cotangent: y scales linearly in kscale, so d/dkscale is
+    # nonzero and must match the XLA path too (ADVICE r3: was zeroed)
+    gs_pal = jax.grad(lambda ss: fused_w8a8_matmul(
+        x3, q, ss, None, jnp.float32, interpret=True).sum())(s)
+    gs_xla = jax.grad(lambda ss: int8_matmul(
+        x3, q, ss, None, jnp.float32).sum())(s)
+    assert float(jnp.abs(gs_xla).max()) > 0
+    np.testing.assert_allclose(np.asarray(gs_pal), np.asarray(gs_xla),
+                               rtol=1e-4, atol=1e-6)
 
 
 @cpu_only
 def test_fused_w8a8_unsupported_geometry():
-    from iisan_tpu.ops.int8_pallas import supported
+    from iisan_tpu.ops.int8_pallas import fused_w8a8_matmul, supported
 
     assert not supported(257, 128)   # K not lane-aligned
     assert not supported(128, 130)   # N not lane-aligned
+    # calling past the gate raises a clear error, not ZeroDivisionError
+    rng = np.random.default_rng(5)
+    x = jnp.asarray(rng.standard_normal((8, 257)), jnp.float32)
+    q = jnp.zeros((257, 128), jnp.int8)
+    s = jnp.ones((128,), jnp.float32)
+    with pytest.raises(ValueError, match="unsupported geometry K=257"):
+        fused_w8a8_matmul(x, q, s, None, jnp.float32, interpret=True)
 
 
 def test_int8dense_pallas_impl_falls_back_off_tpu():
