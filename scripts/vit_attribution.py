@@ -15,11 +15,17 @@ same two-length-scan + value-fetch slope as uncached_floor.py:
     calls cost beyond their projections.
   * layernorm_chain   - 25 carry-chained f32 LayerNorms at (69344, 768)
     (2 per layer + final): the elementwise/HBM tax of the pre-LN blocks.
+  * vit_block_chain   - 12 layers of EXACTLY ViTBlock's composed math
+    (LN -> q/k/v -> fused_mha -> proj + residual -> LN -> MLP + residual)
+    with the same dtypes/casts, minus the model-level frame (patchify,
+    position add, CLS concat, per-layer CLS taps, final LN).  The gap
+    between this row and the sum of the three isolated components is the
+    COMPOSITION tax (fusion boundaries around the Pallas attention call,
+    relayouts); the gap between vit_fwd and this row is the model frame.
   * vit_fwd           - the full ViT forward re-measured in-process for a
     same-session baseline (matches UNCACHED_FLOOR's row).
-  * unattributed_ms   - vit_fwd minus the three components: patchify,
-    position-add, CLS stacking, residual adds not captured above, and
-    scheduling gaps.
+  * unattributed_ms   - vit_fwd minus the three isolated components:
+    composition tax + model frame (decomposed by vit_block_chain).
 
 Writes VIT_ATTRIBUTION.json.  Usage:
     python scripts/vit_attribution.py [--steps 4]
@@ -122,6 +128,51 @@ def layernorm_chain(n_steps: int, peak):
                      "in/out (2 per layer + final, the ViT count)"}
 
 
+def vit_block_chain(n_steps: int, peak):
+    """12 composed ViTBlock bodies at the tower geometry: same per-layer
+    math (LN/casts/attention/GEMMs/residuals) as models/vit.py:94-126,
+    none of the model-level frame."""
+    import jax
+    import jax.numpy as jnp
+    from flax import linen as nn
+
+    from iisan_tpu.ops.fused_attention import fused_mha
+
+    rng = np.random.default_rng(3)
+    B, T, D, F = 352, 197, 768, 3072
+    x = jnp.asarray(rng.standard_normal((B, T, D)) * 0.3, jnp.bfloat16)
+    ws = {n_: jnp.asarray(rng.standard_normal(sh) / np.sqrt(sh[0]),
+                          jnp.bfloat16)
+          for n_, sh in [("q", (D, D)), ("k", (D, D)), ("v", (D, D)),
+                         ("p", (D, D)), ("f1", (D, F)), ("f2", (F, D))]}
+    ln = nn.LayerNorm(epsilon=1e-12, dtype=jnp.float32)
+    ln_params = ln.init(jax.random.PRNGKey(0),
+                        jnp.zeros((1, D), jnp.float32))["params"]
+
+    def apply_ln(y, p):
+        return ln.apply({"params": p}, y.astype(jnp.float32)
+                        ).astype(jnp.bfloat16)
+
+    def fn(taint, x_, ws_, lp):
+        y = x_ + taint.astype(x_.dtype)
+        for _ in range(12):
+            h = apply_ln(y, lp)
+            q, k, v = h @ ws_["q"], h @ ws_["k"], h @ ws_["v"]
+            a = fused_mha(q, k, v, n_heads=12)
+            y = (a @ ws_["p"]).astype(jnp.bfloat16) + y
+            h = apply_ln(y, lp)
+            h = jax.nn.gelu((h @ ws_["f1"]).astype(jnp.bfloat16),
+                            approximate=False)
+            y = (h @ ws_["f2"]).astype(jnp.bfloat16) + y
+        return y
+
+    sec, flops, _ = _timed_scan(fn, (x, ws, ln_params), n_steps)
+    return {"ms": sec * 1e3, "tflops": flops / 1e12,
+            "mfu_vs_peak": mfu(flops, sec, peak),
+            "shape": "12 x (LN -> qkv -> fused_mha -> proj+res -> LN -> "
+                     f"MLP+res) at ({B}, {T}, {D}), ViTBlock math"}
+
+
 def vit_fwd_row(n_steps: int, peak, bs: int = 32):
     import jax.numpy as jnp
 
@@ -162,17 +213,25 @@ def main():
                      ("fused_attention",
                       lambda: fused_attention_isolated(args.steps, peak)),
                      ("layernorm_chain",
-                      lambda: layernorm_chain(args.steps, peak))]:
+                      lambda: layernorm_chain(args.steps, peak)),
+                     ("vit_block_chain",
+                      lambda: vit_block_chain(args.steps, peak))]:
         out[name] = fn()
         print(json.dumps({name: out[name]}), flush=True)
         with open(args.out, "w") as fh:
             json.dump(out, fh, indent=1)
-    out["unattributed_ms"] = round(
-        out["vit_fwd"]["ms"] - out["vit_dense_chain"]["ms"]
-        - out["fused_attention"]["ms"] - out["layernorm_chain"]["ms"], 2)
-    out["note"] = ("unattributed = patchify projection+transpose, position "
-                   "add, CLS-tap stacking, residual adds outside the dense "
-                   "chain, inter-op scheduling")
+    parts = (out["vit_dense_chain"]["ms"] + out["fused_attention"]["ms"]
+             + out["layernorm_chain"]["ms"])
+    out["unattributed_ms"] = round(out["vit_fwd"]["ms"] - parts, 2)
+    out["composition_tax_ms"] = round(out["vit_block_chain"]["ms"] - parts, 2)
+    out["model_frame_ms"] = round(
+        out["vit_fwd"]["ms"] - out["vit_block_chain"]["ms"], 2)
+    out["note"] = ("unattributed = composition_tax (fusion boundaries / "
+                   "relayouts around the Pallas attention inside a block, "
+                   "= block_chain - sum(isolated parts)) + model_frame "
+                   "(patchify projection+transpose, position add, CLS "
+                   "concat, per-layer CLS taps, final LN, = vit_fwd - "
+                   "block_chain)")
     with open(args.out, "w") as fh:
         json.dump(out, fh, indent=1)
     print(json.dumps({"unattributed_ms": out["unattributed_ms"],
