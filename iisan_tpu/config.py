@@ -169,10 +169,11 @@ class IISANConfig:
     cache_quant: str = "none"
     # Execution dtype of the frozen uncached towers: "int8" runs every
     # tower matmul W8A8 on the MXU (2x the bf16 rate on v5e,
-    # ops/int8_linear.py) with weights quantized once at graft time;
-    # "int8_pallas" opts into the fused one-pass kernel
-    # (ops/int8_pallas.py — measured slower than the XLA formulation at
-    # the shipped geometries, kept for wide-matmul headroom).
+    # ops/int8_linear.py) with weights quantized once at graft time.
+    # (A hand-fused one-pass kernel, ops/int8_pallas.py, was measured
+    # and demoted: it loses to the XLA formulation at every tower
+    # geometry incl. Versa's 8192-dim widths — INT8_IMPL_BENCH.json
+    # sweep; kept in-tree as a tested negative result only.)
     # Requires towers_frozen() — jnp.rint's zero-derivative JVP would
     # silently zero tower gradients for methods that train the towers
     # (towers_from_config raises on the combination).

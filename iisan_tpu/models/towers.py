@@ -220,9 +220,23 @@ def towers_from_config(cfg, dtype=None):
     string-matched)."""
     dtype = dtype or jnp.dtype(cfg.compute_dtype)
     quant = getattr(cfg, "tower_quant", "none")
-    if quant not in ("none", "int8", "int8_pallas"):
+    if quant == "int8_pallas":
+        # Demoted from the user-facing config after the round-4 K/N sweep
+        # (INT8_IMPL_BENCH.json): the fused kernel loses to the XLA int8
+        # formulation at every tower geometry end-to-end (0.58-0.72x) and
+        # at Versa widths (0.55x at 8192); its only wins are isolated
+        # bandwidth-bound 768-wide single matmuls (+6-11%) that never
+        # materialize inside the composed tower.  The kernel itself stays
+        # in ops/int8_pallas.py as a tested, documented negative result
+        # (bench via scripts/bench_int8_impls.py).
+        raise ValueError(
+            "tower_quant='int8_pallas' was removed: the fused kernel "
+            "measured slower than the XLA int8 path at every tower "
+            "geometry (INT8_IMPL_BENCH.json sweep). Use tower_quant="
+            "'int8'.")
+    if quant not in ("none", "int8"):
         raise ValueError(f"unsupported tower_quant={quant!r} "
-                         "(expected 'none', 'int8' or 'int8_pallas')")
+                         "(expected 'none' or 'int8')")
     if quant != "none" and not cfg.towers_frozen():
         # W8A8 towers are inference-only: jnp.rint's JVP is zero, so any
         # method that trains the towers (fft/lora/houlsby/bitfit,

@@ -71,8 +71,9 @@ def int8_matmul(x, kernel_q, kscale, bias: Optional[Any], out_dtype):
     impl: measured on a 12-layer dense tower stack at the uncached ViT
     geometry (M=69632) it runs 199.6 effective TFLOPs vs bf16's 177.9 —
     XLA pipelines the quantize/dequant into its matmul fusions better
-    than the hand-written kernel (ops/int8_pallas.py, 127.6, kept as an
-    opt-in 'int8_pallas')."""
+    than the hand-written kernel (ops/int8_pallas.py, 127.6 — demoted to
+    a documented negative result after the round-4 K/N sweep,
+    INT8_IMPL_BENCH.json)."""
     xf = x.astype(jnp.float32)
     absmax = jnp.max(jnp.abs(xf), axis=-1, keepdims=True)   # (..., 1)
     sx = absmax / 127.0
@@ -96,8 +97,9 @@ class Int8Dense(nn.Module):
     lecun-matched scales (test path).
 
     impl: 'xla' (default, fastest measured — see int8_matmul) or
-    'pallas' (the fused one-pass kernel, opt-in; falls back to XLA when
-    the geometry is unsupported or the backend is not TPU)."""
+    'pallas' (the fused one-pass kernel — a documented negative result,
+    kept for direct benchmarking/tests only; falls back to XLA when the
+    geometry is unsupported or the backend is not TPU)."""
 
     features: int
     dtype: Any = jnp.bfloat16
@@ -133,10 +135,11 @@ class Int8Dense(nn.Module):
 def dense_or_int8(features: int, dtype, name: str, quant: str = "none"):
     """Tower dense factory: the tower modules route every quantizable
     matmul through this, so one flag flips the whole tower.  quant:
-    'none' | 'int8' (XLA impl) | 'int8_pallas' (fused kernel, opt-in)."""
-    if quant in ("int8", "int8_pallas"):
-        return Int8Dense(features, dtype=dtype, name=name,
-                         impl="pallas" if quant == "int8_pallas" else "xla")
+    'none' | 'int8' (XLA impl; the Pallas kernel was measured slower at
+    every tower geometry and demoted — Int8Dense(impl='pallas') remains
+    for direct benchmarking, scripts/bench_int8_impls.py)."""
+    if quant == "int8":
+        return Int8Dense(features, dtype=dtype, name=name, impl="xla")
     return nn.Dense(features, dtype=dtype, name=name)
 
 

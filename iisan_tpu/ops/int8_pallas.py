@@ -30,6 +30,21 @@ the bwd never runs — the taps are stop_gradient'ed (towers.py:144-145).
 Reference context: the reference runs its frozen towers in fp16 autocast
 (/root/reference/Code_Uncached/run.py:380-385); there is no reference
 analog of int8 tower execution — this is TPU-native headroom.
+
+STATUS — documented negative result (round 4). The one-pass design did
+not beat XLA's fusion pipeline on this chip. K/N sweep at M=8192/32768
+(INT8_IMPL_BENCH.json): the kernel wins only isolated bandwidth-bound
+768-wide single matmuls (+6-11% vs int8_xla) and loses everywhere
+compute-bound — 0.96-0.94x at 2048-4096, 0.55-0.62x at Versa's 8192
+widths, 0.72x on the composed 12-layer tower dense chain, 0.58-0.62x
+end-to-end in the tower A/B (INT8_TOWER_AB.json). The likely cause is
+visible in the sweep shape: XLA pipelines its quantize fusion with the
+s8 MXU dot across fusion boundaries better than this kernel's serial
+per-tile quantize->dot, and the gap widens exactly where the MXU is
+busiest. 'int8_pallas' was therefore removed from the user-facing
+``tower_quant`` values (models/towers.py raises with this pointer);
+the kernel stays tested (tests/test_int8_towers.py) and directly
+benchmarkable (scripts/bench_int8_impls.py --sweep).
 """
 
 from __future__ import annotations

@@ -7,8 +7,9 @@ overhead amortized — for three implementations:
 
   * bf16: plain nn.Dense math (the tower_quant='none' path),
   * int8_xla: ops/int8_linear.int8_matmul (tower_quant='int8'),
-  * int8_pallas: ops/int8_pallas.fused_w8a8_matmul (tower_quant=
-    'int8_pallas').
+  * int8_pallas: ops/int8_pallas.fused_w8a8_matmul (demoted from the
+    user-facing tower_quant values — see the STATUS note in
+    ops/int8_pallas.py; measured here directly).
 
 This is the measurement behind the impl default: XLA pipelines the
 quantize/dequant into its matmul fusions better than the hand-written

@@ -9,11 +9,13 @@ what int8 does to the SAN's inputs.
 
 Writes INT8_TOWER_AB.json.  Usage:
     python scripts/bench_int8_towers.py [--batches 32,64] [--steps 10] \
-        [--quants none,int8,int8_pallas]
+        [--quants none,int8]
 
---quants selects the tower_quant modes measured (the 'int8_pallas' row
-exercises the opt-in fused kernel, ops/int8_pallas.py); speedup keys are
-named speedup_bs{B} for int8 and speedup_bs{B}_{quant} otherwise.
+--quants selects the tower_quant modes measured; speedup keys are named
+speedup_bs{B} for int8 and speedup_bs{B}_{quant} otherwise.  (The former
+'int8_pallas' mode was demoted to a negative result — the fused kernel
+loses at every tower geometry, see ops/int8_pallas.py STATUS and the
+INT8_IMPL_BENCH.json sweep; measure it directly via bench_int8_impls.py.)
 """
 
 import json
@@ -84,7 +86,7 @@ def main():
     ap.add_argument("--steps", type=int, default=10)
     ap.add_argument("--quants", default="none,int8",
                     help="comma list of tower_quant modes to measure "
-                         "(none, int8, int8_pallas)")
+                         "(none, int8)")
     ap.add_argument("--out", default="INT8_TOWER_AB.json")
     args = ap.parse_args()
     enable_compilation_cache()

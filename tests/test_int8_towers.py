@@ -261,6 +261,16 @@ def test_tower_quant_unknown_value_raises():
         towers_from_config(tiny_cfg(tower_quant="fp4"))
 
 
+def test_tower_quant_pallas_demoted_raises_with_pointer():
+    # 'int8_pallas' was removed from the user-facing values after the
+    # round-4 sweep (INT8_IMPL_BENCH.json) showed the fused kernel loses
+    # at every tower geometry; the error must point users at 'int8'.
+    from iisan_tpu.models.towers import towers_from_config
+
+    with pytest.raises(ValueError, match="int8_pallas.*removed"):
+        towers_from_config(tiny_cfg(tower_quant="int8_pallas"))
+
+
 # ---------------------------------------------------------------------------
 # integration (tiny geometry, CPU-runnable)
 # ---------------------------------------------------------------------------
