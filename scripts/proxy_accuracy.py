@@ -230,7 +230,16 @@ def main():
                       f"test Hit@10={test_hit if test_hit is None else round(test_hit, 4)} "
                       f"({time.time()-t0:.0f}s)", flush=True)
 
+    # Merge-preserving report: an invocation that runs only one dataset
+    # (e.g. extra seeds on a <2-sigma cell, VERDICT r3 next #5) must not
+    # clobber the other datasets' published rows — start from the
+    # existing report and replace only the datasets run this time.
     report = {"epochs": args.epochs, "seeds": seeds, "datasets": {}}
+    if os.path.exists("PROXY_ACCURACY.json"):
+        with open("PROXY_ACCURACY.json") as f:
+            prev = json.load(f)
+        if prev.get("epochs") == args.epochs:
+            report["datasets"] = prev.get("datasets", {})
     for ds in args.datasets.split(","):
         runs = {}
         for variant in ("informative", "random", "id"):
@@ -243,7 +252,8 @@ def main():
                   and r.get("epochs_budget", args.epochs) == args.epochs]
             if rs:
                 runs[variant] = sorted(rs, key=lambda r: r["seed"])
-        report["datasets"][ds] = {"runs": runs, "summary": summarize(runs)}
+        report["datasets"][ds] = {"seeds": seeds, "runs": runs,
+                                  "summary": summarize(runs)}
     with open("PROXY_ACCURACY.json", "w") as f:
         json.dump(report, f, indent=1)
     print(json.dumps({ds: report["datasets"][ds]["summary"]

@@ -17,10 +17,19 @@ run_step() { # name artifact timeout cmd...
   timeout "$tmo" "$@" >>"$LOG" 2>&1
   local rc=$?
   say "END $name rc=$rc"
+  # Commit the artifact as soon as it lands (VERDICT r3 next #6: round
+  # evidence must reach history when it is produced, not at round end).
+  if [ $rc -eq 0 ] && [ -n "$artifact" ] && [ -e "$artifact" ]; then
+    git add "$artifact" && \
+      git commit -q -m "measurement: $name ($artifact)" && \
+      say "COMMITTED $artifact" || say "commit of $artifact skipped"
+  fi
   return $rc
 }
 
 run_step int8_ab INT8_AB.json 2400 python scripts/bench_int8_ab.py
+run_step versa_bertlarge VERSA_SCALE_bertlarge.json 3600 \
+  python scripts/versa_at_scale.py --geometry bertlarge
 run_step versa_int8store VERSA_SCALE_int8store.json 3600 \
   python scripts/versa_at_scale.py --store_dtype int8
 run_step versa_eva VERSA_SCALE_eva.json 3600 \
@@ -49,4 +58,15 @@ EOF
 fi
 run_step proxy_all "" 14400 \
   python scripts/proxy_accuracy.py --datasets scientific,instrument,office
+# Extra seeds on the one <2-sigma cell (instrument test-split
+# informative-vs-random, 0.99 sigma at 3 seeds — VERDICT r3 next #5);
+# merge-preserving report keeps the other datasets' 3-seed rows.
+run_step proxy_instrument_seeds "" 14400 \
+  python scripts/proxy_accuracy.py --datasets instrument \
+    --seeds 0,1,2,3,4,5
+if ! git diff --quiet -- PROXY_ACCURACY.json 2>/dev/null; then
+  git add PROXY_ACCURACY.json PROXY_ACCURACY_partial.json && \
+    git commit -q -m "measurement: proxy accuracy update" && \
+    say "COMMITTED PROXY_ACCURACY.json"
+fi
 say "QUEUE DONE"
