@@ -27,6 +27,20 @@ run_step() { # name artifact timeout cmd...
   return $rc
 }
 
+# Subblock kernel on-chip verdict (round 4): the artifact is
+# merge-preserving, so gate on the row rather than the file.
+if ! python -c "import json,sys; sys.exit(0 if 'subblock' in json.load(open('VIT_BLOCK_VARIANTS.json')) else 1)" 2>/dev/null; then
+  run_step vit_subblock "" 2400 \
+    python scripts/vit_block_variants.py --variants baseline,subblock
+  if ! git diff --quiet -- VIT_BLOCK_VARIANTS.json 2>/dev/null; then
+    git add VIT_BLOCK_VARIANTS.json && \
+      git commit -q -m "measurement: subblock variant on-chip (VIT_BLOCK_VARIANTS.json)" && \
+      say "COMMITTED VIT_BLOCK_VARIANTS.json"
+  fi
+else
+  say "SKIP vit_subblock (row exists)"
+fi
+
 run_step int8_ab INT8_AB.json 2400 python scripts/bench_int8_ab.py
 run_step versa_bertlarge VERSA_SCALE_bertlarge.json 3600 \
   python scripts/versa_at_scale.py --geometry bertlarge
