@@ -14,7 +14,7 @@ from __future__ import annotations
 
 import dataclasses
 from dataclasses import dataclass
-from typing import Tuple
+from typing import Any, Tuple
 
 
 def _parse_int_list(s: str) -> Tuple[int, ...]:
@@ -178,10 +178,18 @@ class IISANConfig:
     # silently zero tower gradients for methods that train the towers
     # (towers_from_config raises on the combination).
     tower_quant: str = "none"
-    # Fused Pallas encoder attention in the uncached towers
-    # (ops/fused_attention.py); applies to the frozen-tower IISAN path
-    # only (methods that train the towers always use the XLA path).
-    fused_tower_attention: bool = True
+    # Fused Pallas encoder attention in the uncached towers; applies to
+    # the frozen-tower IISAN path only (methods that train the towers
+    # always use the XLA path).  True = fused MHA only
+    # (ops/fused_attention.py); "subblock" = one Pallas call per
+    # attention subblock: qkv proj + MHA + out proj
+    # (ops/fused_attn_subblock.py); False = plain XLA.  Measured verdict
+    # (VIT_BLOCK_VARIANTS.json, v5e): "subblock" loses 3.7% at the
+    # ViT-base uncached geometry — the kernel's serial per-head loop
+    # costs more than the XLA<->Pallas crossings it removes — so the
+    # default stays True; the value remains accepted as a tested,
+    # numerics-identical negative result.
+    fused_tower_attention: Any = True
     # Fused Pallas SASRec user-encoder kernels (ops/fused_user_encoder.py).
     # True = auto (kernel on TPU for supported shapes, module path elsewhere);
     # False = always the module path.  Unlike the SAN cascade (where XLA

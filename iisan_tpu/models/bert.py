@@ -96,7 +96,9 @@ class BertLayer(nn.Module):
     lora_rank: int = 0
     houlsby_down: int = 0       # Houlsby adapters (model.py:198-222 analog)
     adapter_activation: str = "RELU"
-    fused_attention: bool = False
+    # False | True (fused_mha) | "subblock" (one Pallas call for
+    # qkv proj + MHA + out proj, ops/fused_attn_subblock.py).
+    fused_attention: Any = False
     quant: str = "none"  # see BertSelfAttention.quant
 
     @nn.compact
@@ -105,13 +107,44 @@ class BertLayer(nn.Module):
         from .peft import HoulsbyAdapter
 
         d = x.shape[-1]
-        attn = BertSelfAttention(self.num_heads, self.dtype, self.dropout,
-                                 self.lora_rank, fused=self.fused_attention,
-                                 quant=self.quant,
-                                 name="attention")(
-            x, attn_bias, deterministic)
-        attn = dense_or_int8(d, self.dtype, "attention_output",
-                             self.quant)(attn)
+        if (self.fused_attention == "subblock" and self.lora_rank == 0
+                and self.quant == "none"):
+            # qkv proj + masked MHA + out proj in ONE Pallas call —
+            # see ViTBlock and ops/fused_attn_subblock.py.  Param tree is
+            # identical to the module path (_ProjParams); off-TPU the op
+            # falls back to the identical-math XLA formulation.
+            from ..ops.fused_attn_subblock import (_reference_subblock,
+                                                   fused_attn_subblock)
+            from .vit import _ProjParams, _SubblockProj
+
+            wqkv, bqkv = _SubblockProj(d, name="attention")()
+            wo, bo = _ProjParams(d, d, name="attention_output")()
+            wqkv, wo = wqkv.astype(self.dtype), wo.astype(self.dtype)
+            b, t = x.shape[0], x.shape[1]
+            key_bias = attn_bias.reshape(b, t)  # additive 0 / -1e9
+            train = self.dropout > 0.0 and not deterministic
+            if jax.default_backend() == "tpu" and not self.is_initializing():
+                attn = fused_attn_subblock(
+                    x, wqkv, bqkv, wo, bo, self.num_heads,
+                    key_bias=key_bias, drop_rate=self.dropout,
+                    dropout_rng=self.make_rng("dropout") if train else None)
+            else:
+                if train:
+                    raise NotImplementedError(
+                        "fused_attention='subblock' with active attention "
+                        "dropout off-TPU; force tower_dropout=0.0 or use "
+                        "fused_tower_attention=True")
+                attn = _reference_subblock(x, wqkv, bqkv, wo, bo, key_bias,
+                                           self.num_heads, self.dtype)
+        else:
+            attn = BertSelfAttention(self.num_heads, self.dtype,
+                                     self.dropout, self.lora_rank,
+                                     fused=self.fused_attention,
+                                     quant=self.quant,
+                                     name="attention")(
+                x, attn_bias, deterministic)
+            attn = dense_or_int8(d, self.dtype, "attention_output",
+                                 self.quant)(attn)
         attn = nn.Dropout(self.dropout)(attn, deterministic=deterministic)
         if self.houlsby_down > 0:
             # BertAdaptedSelfOutput: dense -> dropout -> adapter -> LN(+res)
@@ -157,7 +190,7 @@ class BertEncoder(nn.Module):
     # of storing them - frees HBM for bigger uncached batches.
     remat: bool = False
     # Fused Pallas attention (see BertSelfAttention.fused).
-    fused_attention: bool = False
+    fused_attention: Any = False
     # "full" | "cls" | "mean" - see ViTEncoder.collect; "mean" stacks the
     # attention-masked per-layer token mean (the Versa mean-pool cache
     # semantics, preprocess_llama-3-70b_micro.py:67-70).

@@ -80,6 +80,40 @@ class ViTSelfAttention(nn.Module):
         return o.transpose(0, 2, 1, 3).reshape(b, t, d)
 
 
+class _ProjParams(nn.Module):
+    """Parameter container with nn.Dense's exact tree ({kernel, bias}),
+    shapes and initializers — but no GEMM.  Lets the fused subblock path
+    declare the q/k/v/output-projection weights under the SAME param
+    paths the module path uses (attention/{query,key,value},
+    attention_output), so checkpoints, HF import and PEFT masks are
+    layout-independent of the attention implementation."""
+
+    in_dim: int
+    features: int
+
+    @nn.compact
+    def __call__(self):
+        k = self.param("kernel", nn.initializers.lecun_normal(),
+                       (self.in_dim, self.features))
+        b = self.param("bias", nn.initializers.zeros, (self.features,))
+        return k, b
+
+
+class _SubblockProj(nn.Module):
+    """Declares query/key/value projection params (module-path layout)
+    and returns them concatenated for ops/fused_attn_subblock."""
+
+    dim: int
+
+    @nn.compact
+    def __call__(self):
+        wq, bq = _ProjParams(self.dim, self.dim, name="query")()
+        wk, bk = _ProjParams(self.dim, self.dim, name="key")()
+        wv, bv = _ProjParams(self.dim, self.dim, name="value")()
+        return (jnp.concatenate([wq, wk, wv], axis=1),
+                jnp.concatenate([bq, bk, bv], axis=0))
+
+
 class ViTBlock(nn.Module):
     num_heads: int
     intermediate_dim: int
@@ -88,7 +122,9 @@ class ViTBlock(nn.Module):
     lora_rank: int = 0
     houlsby_down: int = 0   # VITAdaptedSelfOutput/VITAdaptedOutput analog
     adapter_activation: str = "RELU"
-    fused_attention: bool = False
+    # False | True (fused_mha) | "subblock" (one Pallas call for
+    # qkv proj + MHA + out proj, ops/fused_attn_subblock.py).
+    fused_attention: Any = False
     quant: str = "none"  # see ViTSelfAttention.quant
 
     @nn.compact
@@ -100,11 +136,40 @@ class ViTBlock(nn.Module):
         h = nn.LayerNorm(epsilon=1e-12, dtype=jnp.float32,
                          name="layernorm_before")(
             x.astype(jnp.float32)).astype(self.dtype)
-        h = ViTSelfAttention(self.num_heads, self.dtype, self.dropout,
-                             self.lora_rank, fused=self.fused_attention,
-                             quant=self.quant,
-                             name="attention")(h, deterministic)
-        h = dense_or_int8(d, self.dtype, "attention_output", self.quant)(h)
+        if (self.fused_attention == "subblock" and self.lora_rank == 0
+                and self.quant == "none"):
+            # One Pallas call for qkv proj + MHA + out proj (two
+            # XLA<->Pallas crossings per block instead of five) — see
+            # ops/fused_attn_subblock.py.  Static branch: param creation
+            # is identical across init/apply; off-TPU the op itself
+            # falls back to the identical-math XLA formulation.
+            from ..ops.fused_attn_subblock import (_reference_subblock,
+                                                   fused_attn_subblock)
+
+            wqkv, bqkv = _SubblockProj(d, name="attention")()
+            wo, bo = _ProjParams(d, d, name="attention_output")()
+            wqkv, wo = wqkv.astype(self.dtype), wo.astype(self.dtype)
+            train = self.dropout > 0.0 and not deterministic
+            if jax.default_backend() == "tpu" and not self.is_initializing():
+                h = fused_attn_subblock(
+                    h, wqkv, bqkv, wo, bo, self.num_heads,
+                    drop_rate=self.dropout,
+                    dropout_rng=self.make_rng("dropout") if train else None)
+            else:
+                if train:
+                    raise NotImplementedError(
+                        "fused_attention='subblock' with active attention "
+                        "dropout off-TPU; force tower_dropout=0.0 or use "
+                        "fused_tower_attention=True")
+                h = _reference_subblock(h, wqkv, bqkv, wo, bo, None,
+                                        self.num_heads, self.dtype)
+        else:
+            h = ViTSelfAttention(self.num_heads, self.dtype, self.dropout,
+                                 self.lora_rank, fused=self.fused_attention,
+                                 quant=self.quant,
+                                 name="attention")(h, deterministic)
+            h = dense_or_int8(d, self.dtype, "attention_output",
+                              self.quant)(h)
         h = nn.Dropout(self.dropout)(h, deterministic=deterministic)
         if self.houlsby_down > 0:
             # VITAdaptedSelfOutput: dense -> dropout -> adapter (model.py:225-238)
@@ -149,8 +214,8 @@ class ViTEncoder(nn.Module):
     adapter_activation: str = "RELU"
     # jax.checkpoint each block (see BertEncoder.remat)
     remat: bool = False
-    # Fused Pallas attention (see ViTSelfAttention.fused).
-    fused_attention: bool = False
+    # Fused Pallas attention: False | True | "subblock" (see ViTBlock).
+    fused_attention: Any = False
     # Per-layer hidden-state collection: "full" stacks the whole (B, T, D)
     # activation per layer (HF output_hidden_states parity - what the
     # cache builder and parity tests consume); "cls" stacks only the CLS

@@ -32,9 +32,18 @@ in that configuration; the frozen-tower paths that use this kernel
 stop-gradient at the tap boundary (models/vit.py:144-145 analog) and
 methods that train the towers keep the module path.
 
-Measured (scripts/vit_block_variants.py, real v5e): see
-VIT_BLOCK_VARIANTS.json `subblock_kernel` row — the decision of whether
-models/vit.py adopts this kernel is recorded there and in config.py.
+MEASURED VERDICT (scripts/vit_block_variants.py, real v5e,
+VIT_BLOCK_VARIANTS.json `subblock` row): at the ViT-base uncached
+geometry (352, 197, 768) the kernel LOSES — 113.9 ms vs 109.6 ms for the
+12-block chain (-4 ms, -3.7%).  The crossings it removes are real, but
+the serial per-head score/context loop inside one kernel invocation
+costs more than XLA's boundary tax: XLA overlaps the per-head batched
+matmuls of the module path across its fusions, while the kernel
+serializes them per grid step.  models/{vit,bert}.py therefore keep
+fused_mha as the default (`fused_tower_attention=True`); this kernel
+stays wired behind `fused_tower_attention="subblock"` as a tested,
+honestly-labeled negative result at the ViT geometry (the small-T BERT
+geometry is measured separately — see config.py).
 
 Reference context: /root/reference/Code_Uncached/model/encoders.py runs
 HF towers whose ViTLayer/BertLayer this subblock matches; the reference

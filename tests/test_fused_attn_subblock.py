@@ -139,3 +139,79 @@ def test_compiled_parity_on_tpu():
         x, wqkv, bqkv, wo, bo, None, H, jnp.bfloat16), np.float32)
     scale = np.abs(want).max()
     assert np.abs(got - want).max() / scale < 0.02
+
+
+# ---------------------------------------------------------------------------
+# Model wiring: fused_attention="subblock" in ViTBlock / BertLayer keeps the
+# module path's exact param tree (checkpoint / HF-import compatibility) and
+# its numerics.  On this CPU tier the branch takes the identical-math XLA
+# fallback; the kernel itself is covered by the interpret/TPU tests above.
+# ---------------------------------------------------------------------------
+
+def _tree_specs(tree):
+    flat = jax.tree_util.tree_flatten_with_path(tree)[0]
+    return {jax.tree_util.keystr(p): v.shape for p, v in flat}
+
+
+@cpu_only
+def test_vit_subblock_wiring_tree_and_parity():
+    from iisan_tpu.models.vit import ViTEncoder
+
+    kw = dict(image_size=32, patch_size=16, hidden_dim=32, num_layers=2,
+              num_heads=4, intermediate_dim=64, dtype=jnp.float32)
+    img = jnp.asarray(
+        np.random.default_rng(0).standard_normal((2, 32, 32, 3)),
+        jnp.float32)
+    mod = ViTEncoder(**kw, fused_attention=False)
+    sub = ViTEncoder(**kw, fused_attention="subblock")
+    p_mod = mod.init(jax.random.PRNGKey(0), img)
+    p_sub = sub.init(jax.random.PRNGKey(0), img)
+    assert _tree_specs(p_mod) == _tree_specs(p_sub)
+    # identical param paths -> identical per-param init streams
+    jax.tree_util.tree_map(np.testing.assert_array_equal, p_mod, p_sub)
+    y_mod, h_mod = mod.apply(p_mod, img)
+    # cross-apply: module-initialized checkpoint through the subblock path
+    y_sub, h_sub = sub.apply(p_mod, img)
+    np.testing.assert_allclose(y_sub, y_mod, rtol=3e-5, atol=3e-5)
+    np.testing.assert_allclose(h_sub, h_mod, rtol=3e-5, atol=3e-5)
+
+
+@cpu_only
+def test_bert_subblock_wiring_tree_and_parity():
+    from iisan_tpu.models.bert import BertEncoder
+
+    kw = dict(vocab_size=97, hidden_dim=32, num_layers=2, num_heads=4,
+              intermediate_dim=64, max_position=24, dtype=jnp.float32,
+              dropout=0.0)
+    rng = np.random.default_rng(1)
+    ids = jnp.asarray(rng.integers(0, 97, (3, 12)), jnp.int32)
+    mask = jnp.asarray((np.arange(12)[None, :] < [[12], [7], [9]]),
+                       jnp.int32)  # padding -> exercises the key bias
+    mod = BertEncoder(**kw, fused_attention=False)
+    sub = BertEncoder(**kw, fused_attention="subblock")
+    p_mod = mod.init(jax.random.PRNGKey(0), ids, mask)
+    p_sub = sub.init(jax.random.PRNGKey(0), ids, mask)
+    assert _tree_specs(p_mod) == _tree_specs(p_sub)
+    jax.tree_util.tree_map(np.testing.assert_array_equal, p_mod, p_sub)
+    y_mod, h_mod = mod.apply(p_mod, ids, mask)
+    y_sub, h_sub = sub.apply(p_mod, ids, mask)
+    np.testing.assert_allclose(y_sub, y_mod, rtol=3e-5, atol=3e-5)
+    np.testing.assert_allclose(h_sub, h_mod, rtol=3e-5, atol=3e-5)
+
+
+@cpu_only
+def test_subblock_wiring_keeps_houlsby_and_falls_back_for_lora():
+    """Houlsby adapters compose with the subblock branch (adapter sits
+    after the fused out-proj); LoRA towers must keep the module path
+    (q/v are LoRADense) - same tree as fused_attention=True."""
+    from iisan_tpu.models.vit import ViTEncoder
+
+    kw = dict(image_size=32, patch_size=16, hidden_dim=32, num_layers=1,
+              num_heads=4, intermediate_dim=64, dtype=jnp.float32)
+    img = jnp.zeros((1, 32, 32, 3), jnp.float32)
+    for extra in ({"houlsby_down": 8}, {"lora_rank": 4}):
+        mod = ViTEncoder(**kw, fused_attention=False, **extra)
+        sub = ViTEncoder(**kw, fused_attention="subblock", **extra)
+        p_mod = mod.init(jax.random.PRNGKey(0), img)
+        p_sub = sub.init(jax.random.PRNGKey(0), img)
+        assert _tree_specs(p_mod) == _tree_specs(p_sub), extra
