@@ -240,12 +240,17 @@ def supervise(cmd=None) -> int:
             # Partial evidence beats none: a kill mid-uncached still
             # leaves the flushed cached-headline line in the temp file.
             parsed["degraded"] = reason
-            # Prefer later salvage (more phases completed) at equal
-            # completeness; a line carrying uncached numbers wins.
-            better = (salvaged is None
-                      or ("uncached_device_users_per_sec" in parsed)
-                      >= ("uncached_device_users_per_sec" in salvaged))
-            if better:
+            # Rank salvage by phase completeness: full line (uncached
+            # numbers or a recorded uncached_error) > fused-dispatch
+            # headline > provisional single-dispatch line.  At equal
+            # completeness prefer the later attempt.
+            def _rank(line):
+                if ("uncached_device_users_per_sec" in line
+                        or "uncached_error" in line):
+                    return 2
+                return 1 if "epoch_seconds_single_dispatch" in line else 0
+
+            if salvaged is None or _rank(parsed) >= _rank(salvaged):
                 salvaged = parsed
         print(f"bench attempt {attempt}/{attempts} failed: {reason}"
               + (" (salvaged partial JSON)" if parsed is not None else ""),

@@ -129,13 +129,14 @@ class BertLayer(nn.Module):
                     key_bias=key_bias, drop_rate=self.dropout,
                     dropout_rng=self.make_rng("dropout") if train else None)
             else:
-                if train:
-                    raise NotImplementedError(
-                        "fused_attention='subblock' with active attention "
-                        "dropout off-TPU; force tower_dropout=0.0 or use "
-                        "fused_tower_attention=True")
-                attn = _reference_subblock(x, wqkv, bqkv, wo, bo, key_bias,
-                                           self.num_heads, self.dtype)
+                # Off-TPU / init: identical-math XLA formulation; train-
+                # mode dropout uses XLA bernoulli (stochastic draws only
+                # differ from the kernel's on-chip PRNG).
+                rng = self.make_rng("dropout") if (
+                    train and not self.is_initializing()) else None
+                attn = _reference_subblock(
+                    x, wqkv, bqkv, wo, bo, key_bias, self.num_heads,
+                    self.dtype, drop_rate=self.dropout, dropout_rng=rng)
         else:
             attn = BertSelfAttention(self.num_heads, self.dtype,
                                      self.dropout, self.lora_rank,

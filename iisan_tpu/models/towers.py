@@ -245,6 +245,13 @@ def towers_from_config(cfg, dtype=None):
         raise ValueError("tower_quant='int8' requires frozen towers "
                          "(IISAN with fine_tune_to != 'all' and "
                          "finetune_layernorm 'None')")
+    fta = getattr(cfg, "fused_tower_attention", True)
+    if fta not in (True, False, "subblock"):
+        # A truthy typo ("Subblock", "subblok") would otherwise silently
+        # select the fused_mha path and mislabel any A/B built on it.
+        raise ValueError(
+            f"unknown fused_tower_attention {fta!r}: expected True, "
+            "False or 'subblock'")
     peft = {
         "lora_rank": cfg.bert_adapter_down_size
         if cfg.adapter_type == "lora" and cfg.adding_adapter_to != "None" else 0,

@@ -156,13 +156,14 @@ class ViTBlock(nn.Module):
                     drop_rate=self.dropout,
                     dropout_rng=self.make_rng("dropout") if train else None)
             else:
-                if train:
-                    raise NotImplementedError(
-                        "fused_attention='subblock' with active attention "
-                        "dropout off-TPU; force tower_dropout=0.0 or use "
-                        "fused_tower_attention=True")
-                h = _reference_subblock(h, wqkv, bqkv, wo, bo, None,
-                                        self.num_heads, self.dtype)
+                # Off-TPU / init: identical-math XLA formulation; train-
+                # mode dropout uses XLA bernoulli (stochastic draws only
+                # differ from the kernel's on-chip PRNG).
+                rng = self.make_rng("dropout") if (
+                    train and not self.is_initializing()) else None
+                h = _reference_subblock(
+                    h, wqkv, bqkv, wo, bo, None, self.num_heads,
+                    self.dtype, drop_rate=self.dropout, dropout_rng=rng)
         else:
             h = ViTSelfAttention(self.num_heads, self.dtype, self.dropout,
                                  self.lora_rank, fused=self.fused_attention,

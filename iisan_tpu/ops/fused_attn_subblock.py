@@ -65,12 +65,12 @@ from jax.experimental.pallas import tpu as pltpu
 def _pick_batch_block(B, T, D, itemsize=2):
     """Largest divisor of B (<=8) whose footprint fits the VMEM budget.
 
-    Resident weights (D x 3D + D x D bf16) are charged once; the
+    Resident weights (D x 3D + D x D at the input itemsize) are charged once; the
     per-step terms are the double-buffered x/out blocks, the fp32 qkv
     projection transient, its bf16 cast, one head's fp32 scores and the
     bf16 context.  Budget 12 MB of the ~16 MB VMEM (pallas_guide.md).
     Returns 0 when nothing fits (callers take the XLA path)."""
-    weights = (D * 3 * D + D * D) * 2
+    weights = (D * 3 * D + D * D) * itemsize
     best = 0
     for cand in range(1, min(B, 8) + 1):
         if B % cand:
@@ -132,9 +132,13 @@ def _subblock_kernel(x_ref, wqkv_ref, bqkv_ref, wo_ref, bo_ref, bias_ref,
     o_ref[...] = out.astype(dt).reshape(Bb, T, D)
 
 
-def _reference_subblock(x, wqkv, bqkv, wo, bo, bias, n_heads, dt):
+def _reference_subblock(x, wqkv, bqkv, wo, bo, bias, n_heads, dt,
+                        drop_rate: float = 0.0, dropout_rng=None):
     """Plain-XLA formulation with identical math (used for the VJP and
-    the unsupported-geometry fallback)."""
+    the unsupported-geometry / off-TPU fallback).  drop_rate+dropout_rng:
+    attention-probability dropout with nn.Dropout's keep-and-rescale
+    semantics (draws differ from the kernel's on-chip PRNG — dropout
+    masks are stochastic, not part of numerics parity)."""
     B, T, D = x.shape
     dk = D // n_heads
     qkv = (jnp.einsum("btd,de->bte", x, wqkv,
@@ -151,6 +155,10 @@ def _reference_subblock(x, wqkv, bqkv, wo, bo, bias, n_heads, dt):
     if bias is not None:
         s = s + bias[:, None, None, :].astype(jnp.float32)
     p = jax.nn.softmax(s, axis=-1).astype(dt)
+    if dropout_rng is not None and drop_rate > 0.0:
+        keep = jax.random.bernoulli(dropout_rng, 1.0 - drop_rate, p.shape)
+        p = jnp.where(keep, p / jnp.asarray(1.0 - drop_rate, dt),
+                      jnp.zeros((), dt))
     ctx = jnp.einsum("bhqk,bhkd->bhqd", p, vh,
                      preferred_element_type=jnp.float32).astype(dt)
     ctx = ctx.transpose(0, 2, 1, 3).reshape(B, T, D)

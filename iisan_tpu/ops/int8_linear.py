@@ -140,6 +140,15 @@ def dense_or_int8(features: int, dtype, name: str, quant: str = "none"):
     for direct benchmarking, scripts/bench_int8_impls.py)."""
     if quant == "int8":
         return Int8Dense(features, dtype=dtype, name=name, impl="xla")
+    if quant != "none":
+        # Reject loudly: 'int8_pallas' was a accepted value before its
+        # round-4 demotion, and a silent nn.Dense fallback would change
+        # the param tree ({kernel,bias} vs {kernel_q,kscale,bias}) and
+        # the memory/perf profile without any error.
+        raise ValueError(
+            f"unknown tower quant {quant!r}: expected 'none' or 'int8' "
+            "(the 'int8_pallas' kernel was demoted to a benchmark-only "
+            "path, Int8Dense(impl='pallas') - INT8_IMPL_BENCH.json)")
     return nn.Dense(features, dtype=dtype, name=name)
 
 

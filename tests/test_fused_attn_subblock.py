@@ -215,3 +215,36 @@ def test_subblock_wiring_keeps_houlsby_and_falls_back_for_lora():
         p_mod = mod.init(jax.random.PRNGKey(0), img)
         p_sub = sub.init(jax.random.PRNGKey(0), img)
         assert _tree_specs(p_mod) == _tree_specs(p_sub), extra
+
+
+@cpu_only
+def test_subblock_init_with_train_args_does_not_raise():
+    """Initializing with the same args as the train step (deterministic=
+    False, dropout>0) must work: params do not depend on dropout
+    (code-review r4 finding)."""
+    from iisan_tpu.models.bert import BertEncoder
+
+    enc = BertEncoder(vocab_size=50, hidden_dim=32, num_layers=1,
+                      num_heads=4, intermediate_dim=64, max_position=16,
+                      dtype=jnp.float32, dropout=0.1,
+                      fused_attention="subblock")
+    ids = jnp.ones((2, 8), jnp.int32)
+    mask = jnp.ones((2, 8), jnp.int32)
+    p = enc.init({"params": jax.random.PRNGKey(0),
+                  "dropout": jax.random.PRNGKey(1)}, ids, mask,
+                 deterministic=False)
+    assert "params" in p
+
+
+def test_unknown_quant_and_fused_values_raise():
+    from iisan_tpu.config import IISANConfig
+    from iisan_tpu.models.towers import towers_from_config
+    from iisan_tpu.ops.int8_linear import dense_or_int8
+
+    with pytest.raises(ValueError, match="unknown tower quant"):
+        dense_or_int8(8, jnp.float32, "x", "int8_pallas")
+    cfg = IISANConfig(adapter_type="IISAN", adding_adapter_to="all",
+                      fine_tune_to="None",
+                      fused_tower_attention="Subblock")
+    with pytest.raises(ValueError, match="fused_tower_attention"):
+        towers_from_config(cfg)
