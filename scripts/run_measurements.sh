@@ -32,7 +32,7 @@ run_step() { # name artifact timeout cmd...
 if ! python -c "import json,sys; sys.exit(0 if 'subblock' in json.load(open('VIT_BLOCK_VARIANTS.json')) else 1)" 2>/dev/null; then
   run_step vit_subblock "" 2400 \
     python scripts/vit_block_variants.py --variants baseline,subblock
-  if ! git diff --quiet -- VIT_BLOCK_VARIANTS.json 2>/dev/null; then
+  if [ -n "$(git status --porcelain -- VIT_BLOCK_VARIANTS.json)" ]; then
     git add VIT_BLOCK_VARIANTS.json && \
       git commit -q -m "measurement: subblock variant on-chip (VIT_BLOCK_VARIANTS.json)" && \
       say "COMMITTED VIT_BLOCK_VARIANTS.json"
@@ -40,6 +40,9 @@ if ! python -c "import json,sys; sys.exit(0 if 'subblock' in json.load(open('VIT
 else
   say "SKIP vit_subblock (row exists)"
 fi
+
+run_step bert_attn BERT_ATTN_VARIANTS.json 2400 \
+  python scripts/bert_attn_variants.py
 
 run_step int8_ab INT8_AB.json 2400 python scripts/bench_int8_ab.py
 run_step versa_bertlarge VERSA_SCALE_bertlarge.json 3600 \
@@ -78,7 +81,7 @@ run_step proxy_all "" 14400 \
 run_step proxy_instrument_seeds "" 14400 \
   python scripts/proxy_accuracy.py --datasets instrument \
     --seeds 0,1,2,3,4,5
-if ! git diff --quiet -- PROXY_ACCURACY.json 2>/dev/null; then
+if [ -n "$(git status --porcelain -- PROXY_ACCURACY.json)" ]; then
   git add PROXY_ACCURACY.json PROXY_ACCURACY_partial.json && \
     git commit -q -m "measurement: proxy accuracy update" && \
     say "COMMITTED PROXY_ACCURACY.json"
