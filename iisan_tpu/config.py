@@ -184,8 +184,9 @@ class IISANConfig:
     # (ops/fused_attention.py); "subblock" = one Pallas call per
     # attention subblock: qkv proj + MHA + out proj
     # (ops/fused_attn_subblock.py); False = plain XLA.  Measured verdict
-    # (VIT_BLOCK_VARIANTS.json, v5e): "subblock" loses 3.7% at the
-    # ViT-base uncached geometry — the kernel's serial per-head loop
+    # (VIT_BLOCK_VARIANTS.json + BERT_ATTN_VARIANTS.json, v5e):
+    # "subblock" loses at BOTH tower geometries (-3.7% ViT-base,
+    # -11%/-12% BERT eval/train) — the kernel's serial per-head loop
     # costs more than the XLA<->Pallas crossings it removes — so the
     # default stays True; the value remains accepted as a tested,
     # numerics-identical negative result.

@@ -42,8 +42,11 @@ matmuls of the module path across its fusions, while the kernel
 serializes them per grid step.  models/{vit,bert}.py therefore keep
 fused_mha as the default (`fused_tower_attention=True`); this kernel
 stays wired behind `fused_tower_attention="subblock"` as a tested,
-honestly-labeled negative result at the ViT geometry (the small-T BERT
-geometry is measured separately — see config.py).
+honestly-labeled negative result.  The small-T BERT geometry (352, 30,
+768) was measured separately (scripts/bert_attn_variants.py ->
+BERT_ATTN_VARIANTS.json): same verdict — fused_mha 19.4/24.3 ms
+(eval/train) vs subblock 21.5/27.1 ms vs plain XLA 25.2/31.0 ms — so
+fused_mha is the right default at BOTH towers.
 
 Reference context: /root/reference/Code_Uncached/model/encoders.py runs
 HF towers whose ViTLayer/BertLayer this subblock matches; the reference
