@@ -44,6 +44,21 @@ fi
 run_step bert_attn BERT_ATTN_VARIANTS.json 2400 \
   python scripts/bert_attn_variants.py
 
+# PRNG dropout-mask A/B: one process per impl (default-prng config must
+# be set before any key is traced).  Gate on the rbg row, not the file.
+if ! python -c "import json,sys; sys.exit(0 if 'rbg' in json.load(open('PRNG_IMPL_AB.json')) else 1)" 2>/dev/null; then
+  run_step prng_threefry "" 1800 \
+    python scripts/prng_impl_ab.py --impl threefry2x32
+  run_step prng_rbg "" 1800 python scripts/prng_impl_ab.py --impl rbg
+  if [ -n "$(git status --porcelain -- PRNG_IMPL_AB.json)" ]; then
+    git add PRNG_IMPL_AB.json && \
+      git commit -q -m "measurement: dropout PRNG impl A/B (PRNG_IMPL_AB.json)" && \
+      say "COMMITTED PRNG_IMPL_AB.json"
+  fi
+else
+  say "SKIP prng_ab (rbg row exists)"
+fi
+
 run_step int8_ab INT8_AB.json 2400 python scripts/bench_int8_ab.py
 run_step versa_bertlarge VERSA_SCALE_bertlarge.json 3600 \
   python scripts/versa_at_scale.py --geometry bertlarge
