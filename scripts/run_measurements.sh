@@ -71,7 +71,8 @@ run_step serve_int8 SERVE_BENCH_int8.json 2400 \
     --out SERVE_BENCH_int8.json
 run_step tpu_kernel_tier "" 2400 env IISAN_TEST_PLATFORM=tpu \
   python -m pytest tests/test_fused_user_encoder.py \
-    tests/test_fused_attention.py tests/test_fused_san.py -q
+    tests/test_fused_attention.py tests/test_fused_san.py \
+    tests/test_fused_attn_subblock.py -q
 # Proxy accuracy last: longest step; resumes row-by-row.  Seed the
 # partial file from the last published report so already-measured rows
 # (matching epoch budget AND carrying test-split metrics) are skipped.
