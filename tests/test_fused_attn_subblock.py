@@ -248,3 +248,52 @@ def test_unknown_quant_and_fused_values_raise():
                       fused_tower_attention="Subblock")
     with pytest.raises(ValueError, match="fused_tower_attention"):
         towers_from_config(cfg)
+
+
+@cpu_only
+def test_reference_subblock_dropout_semantics():
+    """The off-TPU train-mode fallback: keep-and-rescale dropout on the
+    attention probabilities — unbiased in expectation, ~rate of the
+    post-softmax mass dropped, deterministic per key."""
+    x, wqkv, bqkv, wo, bo = _inputs(B=4, T=16, D=32, seed=3)
+    rate, key = 0.5, jax.random.PRNGKey(11)
+    base = fs._reference_subblock(x, wqkv, bqkv, wo, bo, None, 4,
+                                  jnp.float32)
+    d1 = fs._reference_subblock(x, wqkv, bqkv, wo, bo, None, 4,
+                                jnp.float32, drop_rate=rate,
+                                dropout_rng=key)
+    d2 = fs._reference_subblock(x, wqkv, bqkv, wo, bo, None, 4,
+                                jnp.float32, drop_rate=rate,
+                                dropout_rng=key)
+    np.testing.assert_array_equal(d1, d2)  # deterministic per key
+    assert not np.allclose(d1, base)       # masks actually applied
+    # rate=0 or no rng -> exactly the deterministic path
+    np.testing.assert_array_equal(
+        fs._reference_subblock(x, wqkv, bqkv, wo, bo, None, 4,
+                               jnp.float32, drop_rate=0.0,
+                               dropout_rng=key), base)
+    # many-key average approaches the deterministic output (unbiased)
+    acc = np.zeros_like(np.asarray(base))
+    n = 64
+    for i in range(n):
+        acc += np.asarray(fs._reference_subblock(
+            x, wqkv, bqkv, wo, bo, None, 4, jnp.float32,
+            drop_rate=rate, dropout_rng=jax.random.PRNGKey(100 + i)))
+    np.testing.assert_allclose(acc / n, base, atol=0.15)
+
+
+@cpu_only
+def test_vit_subblock_train_mode_runs_off_tpu():
+    """ViT with dropout>0, deterministic=False on CPU: the subblock
+    branch must run (review r4: it used to raise)."""
+    from iisan_tpu.models.vit import ViTEncoder
+
+    enc = ViTEncoder(image_size=32, patch_size=16, hidden_dim=32,
+                     num_layers=1, num_heads=4, intermediate_dim=64,
+                     dtype=jnp.float32, dropout=0.1,
+                     fused_attention="subblock")
+    img = jnp.zeros((2, 32, 32, 3), jnp.float32)
+    p = enc.init(jax.random.PRNGKey(0), img)
+    y, _ = enc.apply(p, img, False,
+                     rngs={"dropout": jax.random.PRNGKey(1)})
+    assert np.all(np.isfinite(np.asarray(y)))
