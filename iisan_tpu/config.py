@@ -204,6 +204,17 @@ class IISANConfig:
     # rate.  0.0 makes the uncached forward deterministic — required for
     # the cached==uncached equivalence test and useful for debugging.
     tower_dropout: float = -1.0
+    # PRNG implementation for dropout-mask generation (uncached train
+    # step): "threefry2x32" is JAX's default software counter PRNG;
+    # "rbg" lowers to XLA RngBitGenerator over the TPU hardware RNG.
+    # Dropout masks are stochastic by definition — the impl changes
+    # which draws occur, not the semantics; per-seed determinism holds
+    # within one impl.  Measured on v5e (PRNG_IMPL_AB.json, bs 32
+    # train-mode tower forward): rbg 132.1 ms vs threefry 135.7 ms —
+    # recovers 3.6 of the ~4.7 ms/step dropout tax (UNCACHED_FLOOR.json).
+    # Default stays threefry2x32 so runs are reproducible against prior
+    # rounds and across platforms; set "rbg" to bank the ~2.6% step win.
+    dropout_prng: str = "threefry2x32"
     log_dir: str = "./logs"
     ckpt_dir: str = "./checkpoints"
     # Persist epoch checkpoints on new best / every 10th epoch, process 0

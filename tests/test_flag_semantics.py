@@ -237,3 +237,25 @@ def test_cv_model_load_non_vit_raises():
         validate_config(tiny_cfg(CV_model_load="resnet50"))
     validate_config(tiny_cfg(CV_model_load="vit"))
     validate_config(tiny_cfg(CV_model_load="resnet50", item_tower="id"))
+
+
+# ------------------------------------------------------------- dropout_prng
+def test_dropout_prng_validation_and_rbg_draws():
+    """--dropout_prng swaps the dropout-mask PRNG (threefry -> TPU
+    hardware RNG via RngBitGenerator; measured -3.6 ms/step on the
+    uncached towers, PRNG_IMPL_AB.json).  Unknown impls raise; under
+    'rbg' keys still draw deterministically per seed."""
+    with pytest.raises(ValueError, match="dropout_prng"):
+        validate_config(tiny_cfg(dropout_prng="bogus"))
+    validate_config(tiny_cfg(dropout_prng="rbg"))
+    assert parse_config(["--dropout_prng", "rbg"]).dropout_prng == "rbg"
+    prev = jax.config.jax_default_prng_impl
+    try:
+        jax.config.update("jax_default_prng_impl", "rbg")
+        key = jax.random.PRNGKey(0)
+        a = jax.random.bernoulli(key, 0.5, (256,))
+        b = jax.random.bernoulli(key, 0.5, (256,))
+        assert bool((a == b).all())  # per-seed deterministic within impl
+        assert 0 < int(a.sum()) < 256  # nondegenerate mask
+    finally:
+        jax.config.update("jax_default_prng_impl", prev)
