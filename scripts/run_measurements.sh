@@ -97,6 +97,15 @@ run_step proxy_all "" 14400 \
 run_step proxy_instrument_seeds "" 14400 \
   python scripts/proxy_accuracy.py --datasets instrument \
     --seeds 0,1,2,3,4,5
+# Round 4: lift Scientific and Office to the same 6-seed strength as
+# Instrument (uniform statistical basis for every README margin; rows
+# already in the partial are skipped, so only seeds 3-5 run).
+run_step proxy_scientific_seeds "" 14400 \
+  python scripts/proxy_accuracy.py --datasets scientific \
+    --seeds 0,1,2,3,4,5
+run_step proxy_office_seeds "" 14400 \
+  python scripts/proxy_accuracy.py --datasets office \
+    --seeds 0,1,2,3,4,5
 if [ -n "$(git status --porcelain -- PROXY_ACCURACY.json)" ]; then
   git add PROXY_ACCURACY.json PROXY_ACCURACY_partial.json && \
     git commit -q -m "measurement: proxy accuracy update" && \
