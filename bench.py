@@ -22,8 +22,20 @@ IISAN_BENCH_MIN_TICKS (default 10 = 100 ms CPU) over an
 IISAN_BENCH_STALL window (default 360 s; healthy compile/transfer
 phases burn orders of magnitude more).  Other tunables:
 IISAN_BENCH_ATTEMPTS (default 2), IISAN_BENCH_TIMEOUT (wall cap per
-attempt, s, default 650), IISAN_BENCH_TOTAL (overall supervisor budget,
+attempt, s, default 1200), IISAN_BENCH_TOTAL (overall supervisor budget,
 s, default 1380), IISAN_BENCH_POLL (s, default 5).
+
+The wall cap is deliberately most of the total budget (1200 of 1380 s):
+the STALL detector — not the wall cap — is the hang protection, so a
+slow-but-progressing attempt should be left to finish.  Tunnel
+throughput varies session to session (round-4 measurement: a full run
+that took <10 min in one session needed >650 s per phase in another
+with every compile a cache hit — the time was transfer/dispatch, not
+compile), and capping attempt 1 at half the budget just made attempt 2
+re-prove the salvaged cached headline without ever reaching the
+uncached tail.  A second attempt now only runs if the first died early
+(crash / early stall kill), in which case it inherits the remaining
+budget as a cached-headline backstop.
 
 Evidence-always design (round-3 postmortem, VERDICT r3 next #1: the
 driver's ~30-min outer timeout killed the supervisor before any JSON
@@ -36,11 +48,12 @@ line existed, forfeiting the round's headline):
       failed child's partial output, stamps it "degraded", and keeps the
       best line seen across attempts — emitted (rc 0) if no attempt
       completes cleanly;
-  (c) the envelope fits the outer budget: 2 attempts x 650 s + polling
-      under a hard IISAN_BENCH_TOTAL deadline (default 1380 s ~= 23 min
-      < the driver's cap); a new attempt is never started with < 120 s
-      of budget left.
-A full healthy run takes < 10 min on the chip (judge-measured r3).
+  (c) the envelope fits the outer budget: every attempt runs under a
+      hard IISAN_BENCH_TOTAL deadline (default 1380 s ~= 23 min < the
+      driver's cap); a new attempt is never started with < 120 s of
+      budget left.
+A full healthy run takes < 10 min on the chip in a good session
+(judge-measured r3) and up to ~20 min when the tunnel is slow (r4).
 """
 
 import json
@@ -180,7 +193,7 @@ def supervise(cmd=None) -> int:
     rc 124 / parsed null).
     """
     attempts = int(os.environ.get("IISAN_BENCH_ATTEMPTS", "2"))
-    wall_cap = float(os.environ.get("IISAN_BENCH_TIMEOUT", "650"))
+    wall_cap = float(os.environ.get("IISAN_BENCH_TIMEOUT", "1200"))
     total_cap = float(os.environ.get("IISAN_BENCH_TOTAL", "1380"))
     stall_cap = float(os.environ.get("IISAN_BENCH_STALL", "360"))
     poll_s = float(os.environ.get("IISAN_BENCH_POLL", "5"))
