@@ -96,7 +96,7 @@ run_step proxy_all "" 14400 \
 # merge-preserving report keeps the other datasets' 3-seed rows.
 run_step proxy_instrument_seeds "" 14400 \
   python scripts/proxy_accuracy.py --datasets instrument \
-    --seeds 0,1,2,3,4,5
+    --seeds 0,1,2,3,4,5,6,7,8
 # Round 4: lift Scientific and Office to the same 6-seed strength as
 # Instrument (uniform statistical basis for every README margin; rows
 # already in the partial are skipped, so only seeds 3-5 run).
