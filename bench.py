@@ -33,9 +33,11 @@ that took <10 min in one session needed >650 s per phase in another
 with every compile a cache hit — the time was transfer/dispatch, not
 compile), and capping attempt 1 at half the budget just made attempt 2
 re-prove the salvaged cached headline without ever reaching the
-uncached tail.  A second attempt now only runs if the first died early
-(crash / early stall kill), in which case it inherits the remaining
-budget as a cached-headline backstop.
+uncached tail.  A second attempt launches whenever >= 120 s of the
+total budget remains after attempt 1 ends — however it ended (crash,
+stall kill, or a full-wall-cap kill leaves ~180 s) — inheriting the
+remaining budget as a small-cap cached-headline backstop; the salvage
+logic keeps the best line across attempts either way.
 
 Evidence-always design (round-3 postmortem, VERDICT r3 next #1: the
 driver's ~30-min outer timeout killed the supervisor before any JSON

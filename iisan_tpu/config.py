@@ -204,16 +204,24 @@ class IISANConfig:
     # rate.  0.0 makes the uncached forward deterministic — required for
     # the cached==uncached equivalence test and useful for debugging.
     tower_dropout: float = -1.0
-    # PRNG implementation for dropout-mask generation (uncached train
-    # step): "threefry2x32" is JAX's default software counter PRNG;
-    # "rbg" lowers to XLA RngBitGenerator over the TPU hardware RNG.
-    # Dropout masks are stochastic by definition — the impl changes
-    # which draws occur, not the semantics; per-seed determinism holds
-    # within one impl.  Measured on v5e (PRNG_IMPL_AB.json, bs 32
-    # train-mode tower forward): rbg 132.1 ms vs threefry 135.7 ms —
-    # recovers 3.6 of the ~4.7 ms/step dropout tax (UNCACHED_FLOOR.json).
-    # Default stays threefry2x32 so runs are reproducible against prior
-    # rounds and across platforms; set "rbg" to bank the ~2.6% step win.
+    # PROCESS-WIDE JAX PRNG implementation (jax_default_prng_impl):
+    # "threefry2x32" is JAX's default software counter PRNG; "rbg"
+    # lowers to XLA RngBitGenerator over the TPU hardware RNG.  The
+    # motivating consumer is dropout-mask generation in the uncached
+    # train step, but the setting governs EVERY key created after
+    # run_from_config applies it — weight init, the trainer rng chain,
+    # the ID pipeline — so "rbg" changes the full training trajectory,
+    # not just the masks (ADVICE r4).  It also changes the checkpointed
+    # rng_key format (threefry (2,) vs rbg (4,) uint32): RESUMING A
+    # CHECKPOINT REQUIRES THE SAME dropout_prng IT WAS WRITTEN UNDER
+    # (restore raises a shape mismatch otherwise).  Dropout masks are
+    # stochastic by definition — the impl changes which draws occur, not
+    # the semantics; per-seed determinism holds within one impl.
+    # Measured on v5e (PRNG_IMPL_AB.json, bs 32 train-mode tower
+    # forward): rbg 132.1 ms vs threefry 135.7 ms — recovers 3.6 of the
+    # ~4.7 ms/step dropout tax (UNCACHED_FLOOR.json).  Default stays
+    # threefry2x32 so runs are reproducible against prior rounds and
+    # across platforms; set "rbg" to bank the ~2.6% step win.
     dropout_prng: str = "threefry2x32"
     log_dir: str = "./logs"
     ckpt_dir: str = "./checkpoints"

@@ -145,12 +145,15 @@ def validate_config(cfg: IISANConfig) -> None:
             f"cache_quant={cfg.cache_quant!r} only applies to the cached "
             "pipelines (there is no resident tap table to quantize in "
             f"pipeline={effective_pipeline(cfg)!r})")
-    if cfg.dropout_prng not in ("threefry2x32", "rbg", "unsafe_rbg"):
+    if cfg.dropout_prng not in ("threefry2x32", "rbg"):
+        # 'unsafe_rbg' deliberately rejected (ADVICE r4): it weakens
+        # split/fold_in stream independence, which the trainers rely on
+        # every step — it could silently correlate dropout streams.
         raise ValueError(
             f"dropout_prng={cfg.dropout_prng!r}: supported values are "
-            "'threefry2x32' (JAX default), 'rbg' (TPU hardware RNG via "
+            "'threefry2x32' (JAX default) and 'rbg' (TPU hardware RNG via "
             "XLA RngBitGenerator — saves ~3.6 ms/step on the uncached "
-            "towers, PRNG_IMPL_AB.json) and 'unsafe_rbg'")
+            "towers, PRNG_IMPL_AB.json)")
 
 
 def effective_pipeline(cfg: IISANConfig) -> str:
@@ -166,14 +169,15 @@ def effective_pipeline(cfg: IISANConfig) -> str:
 
 def run_from_config(cfg: IISANConfig, eval_only: bool = False):
     validate_config(cfg)
-    if cfg.dropout_prng != "threefry2x32":
-        # Must land before any PRNG key in the trainers is created: a
-        # key's impl is fixed at construction time.  Scoped to the
-        # non-default value so the process-global JAX config is left
-        # untouched for parity runs and tests.
-        import jax
+    # Must land before any PRNG key in the trainers is created: a key's
+    # impl is fixed at construction time.  Set UNCONDITIONALLY (ADVICE
+    # r4): the setting is process-global, so in sweep.py's in-process
+    # loop a prior rbg run would otherwise leak into every subsequent
+    # config — including explicit threefry2x32 ones — changing their
+    # draws and breaking per-seed reproducibility.
+    import jax
 
-        jax.config.update("jax_default_prng_impl", cfg.dropout_prng)
+    jax.config.update("jax_default_prng_impl", cfg.dropout_prng)
     setup_logger(cfg.log_dir, cfg.label_screen if cfg.label_screen != "None"
                  else cfg.pipeline, cfg.mode)
     log.info("config: %s", cfg)

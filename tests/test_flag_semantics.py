@@ -247,6 +247,10 @@ def test_dropout_prng_validation_and_rbg_draws():
     'rbg' keys still draw deterministically per seed."""
     with pytest.raises(ValueError, match="dropout_prng"):
         validate_config(tiny_cfg(dropout_prng="bogus"))
+    with pytest.raises(ValueError, match="dropout_prng"):
+        # rejected (ADVICE r4): weaker split/fold_in independence could
+        # silently correlate per-step dropout streams
+        validate_config(tiny_cfg(dropout_prng="unsafe_rbg"))
     validate_config(tiny_cfg(dropout_prng="rbg"))
     assert parse_config(["--dropout_prng", "rbg"]).dropout_prng == "rbg"
     prev = jax.config.jax_default_prng_impl
