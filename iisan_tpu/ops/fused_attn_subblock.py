@@ -239,6 +239,249 @@ def supported(B: int, T: int, D: int, H: int, itemsize: int = 2) -> bool:
             and _pick_batch_block(B, T, D, itemsize) > 0)
 
 
+# ----------------------------------------------------------------------
+# v2: head-groups on the grid (VERDICT r4 next #2)
+#
+# The round-4 null's own diagnosis blamed the kernel's serial per-head
+# score/context loop, not the boundary-tax thesis.  v2 removes that
+# confound: the grid is (batch-blocks, head-groups) and each program
+# computes only its group's projections and attention —
+#   qkv_g = x @ Wg + bg      one (Bb*T, D) x (D, 3*G*dk) MXU dot
+#   per head in group:       s -> softmax -> ctx  (G<=4 iterations)
+#   out += ctx_g @ Wo_g      (G*dk, D) contraction, f32 accumulated
+#                            across group steps into the resident block
+# The output projection distributes over head groups (Wo's rows are per
+# head), so the f32 accumulator in VMEM is revisited G times and written
+# back once per batch block (the group axis is the fastest-varying,
+# sequential grid dim).  Weights are re-layouted per group on the XLA
+# side once per step (a ~3.5 MB transpose, negligible).
+# ----------------------------------------------------------------------
+
+
+def _pick_batch_block_v2(B, T, D, G, dk, itemsize=2):
+    """Largest divisor of B (<=16) fitting the v2 footprint: resident
+    f32 accumulator + x block + per-group weights + qkv transient +
+    one head's fp32 scores.  Budget 12 MB (pallas_guide.md)."""
+    weights = (D * 3 * G * dk + G * dk * D) * itemsize * 2   # double-buf
+    best = 0
+    for cand in range(1, min(B, 16) + 1):
+        if B % cand:
+            continue
+        acc = cand * T * D * 4                          # resident f32 out
+        x = 2 * cand * T * D * itemsize                 # double-buffered
+        qkv = cand * T * 3 * G * dk * (4 + itemsize)    # f32 dot + cast
+        scores = 2 * cand * T * max(T, 128) * 4
+        ctx = cand * T * G * dk * itemsize
+        if weights + acc + x + qkv + scores + ctx <= 12 * 2 ** 20:
+            best = cand
+    return best
+
+
+def _subblock_v2_kernel(x_ref, wg_ref, bg_ref, wog_ref, bo_ref, bias_ref,
+                        seed_ref, o_ref, *, G, T, D, dk, dt, with_bias,
+                        rate, train, n_groups):
+    inv = 1.0 / math.sqrt(dk)
+    g = pl.program_id(1)
+    if train:
+        pltpu.prng_seed(seed_ref[0]
+                        + pl.program_id(0) * n_groups + g)
+    x = x_ref[...]                                     # (Bb, T, D) dt
+    Bb = x.shape[0]
+    qkvg = jax.lax.dot_general(
+        x.reshape(Bb * T, D), wg_ref[0],
+        (((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32)
+    qkvg = (qkvg + bg_ref[0].astype(jnp.float32)).astype(dt)
+    qkvg = qkvg.reshape(Bb, T, 3 * G * dk)
+    if with_bias:
+        bias = bias_ref[...][:, 0, :].astype(jnp.float32)  # (Bb, T)
+    outs = []
+    for i in range(G):
+        base = i * 3 * dk
+        qh = qkvg[:, :, base:base + dk]
+        kh = qkvg[:, :, base + dk:base + 2 * dk]
+        vh = qkvg[:, :, base + 2 * dk:base + 3 * dk]
+        s = _bmm(qh, kh, ((2,), (2,))) * inv           # (Bb, T, T) f32
+        if with_bias:
+            s = s + bias[:, None, :]
+        p = jax.nn.softmax(s, axis=-1).astype(dt)
+        if train:
+            from .fused_user_encoder import _dropout_mask
+
+            p = (p.astype(jnp.float32) * _dropout_mask(p.shape, rate)
+                 ).astype(dt)
+        o = _bmm(p, vh, ((2,), (1,)))                  # (Bb, T, dk) f32
+        outs.append(o.astype(dt))
+    ctx = jnp.concatenate(outs, axis=-1).reshape(Bb * T, G * dk)
+    contrib = jax.lax.dot_general(
+        ctx, wog_ref[0], (((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32).reshape(Bb, T, D)
+
+    @pl.when(g == 0)
+    def _():
+        o_ref[...] = contrib + bo_ref[...].astype(jnp.float32)
+
+    @pl.when(g > 0)
+    def _():
+        o_ref[...] += contrib
+
+
+def _group_weights(wqkv, bqkv, wo, H, G):
+    """Re-layout (D, 3D)/(3D,)/(D, D) into per-group slices:
+    wg (n_groups, D, 3*G*dk) with head i of a group at columns
+    [i*3dk, (i+1)*3dk) in [q|k|v] order; bg (n_groups, 3*G*dk);
+    wog (n_groups, G*dk, D)."""
+    D = wqkv.shape[0]
+    dk = D // H
+    ng = H // G
+    w3 = wqkv.reshape(D, 3, H, dk).transpose(2, 0, 1, 3)   # (H, D, 3, dk)
+    wg = w3.reshape(H, D, 3 * dk).reshape(ng, G, D, 3 * dk)
+    wg = wg.transpose(0, 2, 1, 3).reshape(ng, D, G * 3 * dk)
+    b3 = bqkv.reshape(3, H, dk).transpose(1, 0, 2)         # (H, 3, dk)
+    bg = b3.reshape(H, 3 * dk).reshape(ng, G * 3 * dk)
+    wog = wo.reshape(H, dk, D).reshape(ng, G * dk, D)
+    return wg, bg, wog
+
+
+@functools.lru_cache(maxsize=None)
+def _make_fused_subblock_v2(H: int, G: int, B: int, T: int, D: int,
+                            dt_name: str, with_bias: bool, rate: float,
+                            train: bool):
+    dt = jnp.dtype(dt_name)
+    dk = D // H
+    ng = H // G
+    B_blk = _pick_batch_block_v2(B, T, D, G, dk, dt.itemsize)
+    grid = (B // B_blk, ng)
+    x_blk = pl.BlockSpec((B_blk, T, D), lambda b, g: (b, 0, 0),
+                         memory_space=pltpu.VMEM)
+    wg_blk = pl.BlockSpec((1, D, 3 * G * dk), lambda b, g: (g, 0, 0),
+                          memory_space=pltpu.VMEM)
+    bg_blk = pl.BlockSpec((1, 3 * G * dk), lambda b, g: (g, 0),
+                          memory_space=pltpu.VMEM)
+    wog_blk = pl.BlockSpec((1, G * dk, D), lambda b, g: (g, 0, 0),
+                           memory_space=pltpu.VMEM)
+    bo_blk = pl.BlockSpec((D,), lambda b, g: (0,),
+                          memory_space=pltpu.VMEM)
+    bias_blk = pl.BlockSpec((B_blk, 1, T), lambda b, g: (b, 0, 0),
+                            memory_space=pltpu.VMEM)
+    seed_blk = pl.BlockSpec(memory_space=pltpu.SMEM)
+    out_blk = pl.BlockSpec((B_blk, T, D), lambda b, g: (b, 0, 0),
+                           memory_space=pltpu.VMEM)
+    kern = functools.partial(_subblock_v2_kernel, G=G, T=T, D=D, dk=dk,
+                             dt=dt, with_bias=with_bias, rate=rate,
+                             train=train, n_groups=ng)
+    call = pl.pallas_call(
+        kern,
+        grid=grid,
+        in_specs=[x_blk, wg_blk, bg_blk, wog_blk, bo_blk, bias_blk,
+                  seed_blk],
+        out_specs=out_blk,
+        out_shape=jax.ShapeDtypeStruct((B, T, D), jnp.float32),
+        compiler_params=pltpu.CompilerParams(
+            # group axis must stay sequential: it accumulates into the
+            # resident output block; the batch axis is safely parallel
+            # (megacore partitioning where the hardware has it).
+            dimension_semantics=("parallel", "arbitrary")),
+    )
+
+    @jax.custom_vjp
+    def fused(x, wg, bg, wog, bo, bias, seed):
+        return call(x, wg, bg, wog, bo, bias, seed)
+
+    def fused_fwd(x, wg, bg, wog, bo, bias, seed):
+        return call(x, wg, bg, wog, bo, bias, seed), \
+            (x, wg, bg, wog, bo, bias, seed)
+
+    def fused_bwd(res, g_out):
+        if train:
+            raise NotImplementedError(
+                "fused_attn_subblock_v2 backward with active attention "
+                "dropout; use fused_mha (full replay bwd) or the module "
+                "path for methods that train the towers")
+        x, wg, bg, wog, bo, bias, seed = res
+
+        def ref(x_, wg_, bg_, wog_, bo_):
+            return _reference_subblock_v2(
+                x_, wg_, bg_, wog_, bo_,
+                bias[:, 0, :] if with_bias else None, H, G, dt)
+
+        _, vjp = jax.vjp(ref, x, wg, bg, wog, bo)
+        gx, gwg, gbg, gwog, gbo = vjp(g_out)
+        import numpy as np
+
+        return (gx, gwg, gbg, gwog, gbo, jnp.zeros_like(bias),
+                np.zeros(seed.shape, jax.dtypes.float0))
+
+    fused.defvjp(fused_fwd, fused_bwd)
+    return fused
+
+
+def _reference_subblock_v2(x, wg, bg, wog, bo, bias, H, G, dt):
+    """Identical-math XLA formulation over the GROUPED weight layout
+    (used for the v2 VJP and parity tests)."""
+    ng, D = wg.shape[0], x.shape[2]
+    dk = D // H
+    # ungroup back to [q|k|v] column layout
+    w3 = wg.reshape(ng, D, G, 3 * dk).transpose(0, 2, 1, 3)  # (ng,G,D,3dk)
+    w3 = w3.reshape(H, D, 3, dk).transpose(1, 2, 0, 3)       # (D,3,H,dk)
+    wqkv = w3.reshape(D, 3 * D)
+    b3 = bg.reshape(ng, G, 3 * dk).reshape(H, 3, dk).transpose(1, 0, 2)
+    bqkv = b3.reshape(3 * D)
+    wo = wog.reshape(H * dk, D)
+    out = _reference_subblock(x, wqkv, bqkv, wo, bo, bias, H, dt)
+    return out.astype(jnp.float32)
+
+
+def supported_v2(B: int, T: int, D: int, H: int, G: int,
+                 itemsize: int = 2) -> bool:
+    return (D % H == 0 and (D // H) % 8 == 0 and H % G == 0 and B >= 1
+            and T >= 2
+            and _pick_batch_block_v2(B, T, D, G, D // H, itemsize) > 0)
+
+
+def fused_attn_subblock_v2(x: jnp.ndarray, wqkv: jnp.ndarray,
+                           bqkv: jnp.ndarray, wo: jnp.ndarray,
+                           bo: jnp.ndarray, n_heads: int,
+                           group_size: int = 4,
+                           key_bias: Optional[jnp.ndarray] = None,
+                           drop_rate: float = 0.0,
+                           dropout_rng=None) -> jnp.ndarray:
+    """v2 fused subblock: head-groups on the grid (see module banner).
+
+    Same contract as ``fused_attn_subblock``; ``group_size`` heads are
+    computed per grid step (must divide n_heads).  Returns (B, T, D) in
+    the input dtype.
+    """
+    B, T, D = x.shape
+    dt = x.dtype
+    with_bias = key_bias is not None
+    train = dropout_rng is not None and drop_rate > 0.0
+    G = group_size
+    if not supported_v2(B, T, D, n_heads, G, jnp.dtype(dt).itemsize):
+        if train:
+            raise NotImplementedError(
+                "fused_attn_subblock_v2 fallback with attention dropout; "
+                "gate on supported_v2() and use the module path")
+        return _reference_subblock(x, wqkv, bqkv, wo, bo, key_bias,
+                                   n_heads, dt).astype(dt)
+    wg, bg, wog = _group_weights(wqkv.astype(dt), bqkv.astype(dt),
+                                 wo.astype(dt), n_heads, G)
+    fused = _make_fused_subblock_v2(n_heads, G, B, T, D,
+                                    jnp.dtype(dt).name, with_bias,
+                                    float(drop_rate), train)
+    if key_bias is None:
+        key_bias = jnp.zeros((B, T), jnp.float32)
+    if train:
+        from .fused_attention import derive_seed
+
+        seed = derive_seed(dropout_rng)
+    else:
+        seed = jnp.zeros((1,), jnp.int32)
+    out = fused(x, wg, bg, wog, bo.astype(dt),
+                key_bias.astype(jnp.float32).reshape(B, 1, T), seed)
+    return out.astype(dt)
+
+
 def fused_attn_subblock(x: jnp.ndarray, wqkv: jnp.ndarray,
                         bqkv: jnp.ndarray, wo: jnp.ndarray,
                         bo: jnp.ndarray, n_heads: int,

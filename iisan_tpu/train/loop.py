@@ -29,6 +29,9 @@ class TrainResult:
     epochs_run: int
     epoch_times: list = field(default_factory=list)
     losses: list = field(default_factory=list)
+    # Per-epoch (valid_hit10, valid_ndcg10) trace — lets analysis scripts
+    # see the trajectory early stopping acted on (VERDICT r4 next #5).
+    valid_history: list = field(default_factory=list)
     test_metrics: Optional[Tuple[float, float]] = None
     # Test metrics captured AT the best-valid epoch - the number the papers
     # report.  test_metrics above mirrors the reference's literal behavior
@@ -104,6 +107,7 @@ class TrainLoopMixin:
                 now_epoch, loss, hit * 100, ndcg * 100, epoch_time,
                 " epoch+eval" if fused_out is not None else "")
             res.epochs_run = now_epoch
+            res.valid_history.append((float(hit), float(ndcg)))
             new_best = hit > res.best_hit10
             if new_best:
                 res.best_hit10, res.best_ndcg10 = hit, ndcg

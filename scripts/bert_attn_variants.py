@@ -33,7 +33,8 @@ sys.path.insert(0, "scripts")
 from uncached_floor import V5E_BF16_PEAK_FLOPS, _timed_scan, mfu
 
 B, T, D = 352, 30, 768
-VARIANTS = {"xla": False, "fused_mha": True, "subblock": "subblock"}
+VARIANTS = {"xla": False, "fused_mha": True, "subblock": "subblock",
+            "subblock_v2": "subblock_v2"}
 
 
 def make_fn(fused, train: bool):

@@ -39,13 +39,14 @@ sys.path.insert(0, "scripts")
 from uncached_floor import V5E_BF16_PEAK_FLOPS, _timed_scan, mfu
 
 
-def make_variant(merged_qkv: bool, bf16_ln: bool, subblock: bool = False):
+def make_variant(merged_qkv: bool, bf16_ln: bool, subblock=False):
     import jax
     import jax.numpy as jnp
     from flax import linen as nn
 
     from iisan_tpu.ops.fused_attention import fused_mha
-    from iisan_tpu.ops.fused_attn_subblock import fused_attn_subblock
+    from iisan_tpu.ops.fused_attn_subblock import (fused_attn_subblock,
+                                                  fused_attn_subblock_v2)
 
     rng = np.random.default_rng(3)
     B, T, D, F = 352, 197, 768, 3072
@@ -72,7 +73,12 @@ def make_variant(merged_qkv: bool, bf16_ln: bool, subblock: bool = False):
         y = x_ + taint.astype(x_.dtype)
         for _ in range(12):
             h = apply_ln(y, lp)
-            if subblock:
+            if subblock == "v2":
+                a = fused_attn_subblock_v2(h, ws_["qkv"], zero_b["qkv"],
+                                           ws_["p"], zero_b["o"],
+                                           n_heads=12, group_size=4)
+                y = a.astype(jnp.bfloat16) + y
+            elif subblock:
                 a = fused_attn_subblock(h, ws_["qkv"], zero_b["qkv"],
                                         ws_["p"], zero_b["o"], n_heads=12)
                 y = a.astype(jnp.bfloat16) + y
@@ -98,7 +104,10 @@ VARIANTS = {"baseline": (False, False, False),
             "merged_qkv": (True, False, False),
             "bf16_ln": (False, True, False),
             "merged_bf16": (True, True, False),
-            "subblock": (False, False, True)}
+            "subblock": (False, False, True),
+            # v2: head-groups on the grid (VERDICT r4 next #2 - removes
+            # the serial-per-head-loop confound the round-4 null named)
+            "subblock_v2": (False, False, "v2")}
 
 
 def main():

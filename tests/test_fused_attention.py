@@ -232,3 +232,110 @@ def test_tpu_bwd_with_key_bias():
     g_fused = np.asarray(jax.grad(f_fused)(q))
     g_ref = np.asarray(jax.grad(f_ref)(q))
     np.testing.assert_allclose(g_fused, g_ref, atol=2e-4)
+
+
+def _reference_mha_masked(q, k, v, bias, n_heads, dt, masks):
+    """Explicit-mask oracle mirroring the kernel's exact cast chain:
+    softmax in f32 -> cast dt -> (f32 * mask) -> cast dt -> PV matmul.
+    ``masks``: (B, H, Tq, Tk) scaled keep masks (f32), treated as
+    constants — exactly how autodiff sees the kernel's on-chip draws."""
+    import math
+
+    B, T, D = q.shape
+    dk = D // n_heads
+
+    def split(y):
+        return y.reshape(B, T, n_heads, dk).transpose(0, 2, 1, 3)
+
+    qh, kh, vh = split(q), split(k), split(v)
+    s = jnp.einsum("bhqd,bhkd->bhqk", qh, kh,
+                   preferred_element_type=jnp.float32) / math.sqrt(dk)
+    if bias is not None:
+        s = s + bias[:, None, None, :].astype(jnp.float32)
+    p = jax.nn.softmax(s, axis=-1).astype(dt)
+    pd = (p.astype(jnp.float32) * jax.lax.stop_gradient(masks)).astype(dt)
+    o = jnp.einsum("bhqk,bhkd->bhqd", pd, vh,
+                   preferred_element_type=jnp.float32).astype(dt)
+    return o.transpose(0, 2, 1, 3).reshape(B, T, D)
+
+
+@requires_tpu
+def test_tpu_train_mode_grad_parity():
+    """VERDICT r4 next #1: the train-mode (active attention dropout)
+    backward.  The bwd kernel regenerates the fwd's on-chip masks by
+    PRNG replay; the oracle extracts those masks with the debug replay
+    kernel and applies them explicitly in XLA.  Forward parity proves
+    replay == the fwd's actual draws; grad parity proves the hand-
+    written backprop."""
+    rng = np.random.default_rng(7)
+    B, T, D, H, rate = 8, 24, 64, 4, 0.1
+    mk = lambda: jnp.asarray(rng.standard_normal((B, T, D)) * 0.3,
+                             jnp.float32)
+    q, k, v = mk(), mk(), mk()
+    bias = np.zeros((B, T), np.float32)
+    bias[:, -5:] = -1e9
+    bias = jnp.asarray(bias)
+    key = jax.random.PRNGKey(11)
+    seed = fa.derive_seed(key)
+    masks = fa.replay_dropout_masks(seed, B, T, D, H, rate, itemsize=4)
+    assert 0.85 < float((np.asarray(masks) > 0).mean()) < 0.95  # ~1-rate
+
+    proj = jnp.asarray(rng.standard_normal((B, T, D)), jnp.float32)
+
+    def loss_fused(q_, k_, v_):
+        y = fa.fused_mha(q_, k_, v_, H, key_bias=bias, drop_rate=rate,
+                         dropout_rng=key)
+        return jnp.sum(y.astype(jnp.float32) * proj)
+
+    def loss_ref(q_, k_, v_):
+        y = _reference_mha_masked(q_, k_, v_, bias, H, jnp.float32, masks)
+        return jnp.sum(y.astype(jnp.float32) * proj)
+
+    # forward parity (replayed masks ARE the fwd's masks)
+    yf = np.asarray(fa.fused_mha(q, k, v, H, key_bias=bias, drop_rate=rate,
+                                 dropout_rng=key))
+    yr = np.asarray(_reference_mha_masked(q, k, v, bias, H, jnp.float32,
+                                          masks))
+    np.testing.assert_allclose(yf, yr, rtol=1e-4, atol=1e-4)
+
+    g_f = jax.grad(loss_fused, argnums=(0, 1, 2))(q, k, v)
+    g_r = jax.grad(loss_ref, argnums=(0, 1, 2))(q, k, v)
+    for name, a, b in zip("qkv", g_f, g_r):
+        a, b = np.asarray(a), np.asarray(b)
+        scale = np.abs(b).max()
+        assert np.abs(a - b).max() / scale < 2e-3, \
+            (name, np.abs(a - b).max(), scale)
+
+
+@requires_tpu
+def test_tpu_train_mode_grad_bf16_vit_geometry():
+    """Train-mode bwd kernel at the bf16 ViT-base tower geometry
+    (reduced batch): compiles within VMEM, grads finite and match the
+    explicit-mask oracle within bf16 tolerance."""
+    rng = np.random.default_rng(3)
+    B, T, D, H, rate = 8, 197, 768, 12, 0.1
+    mk = lambda: jnp.asarray(rng.standard_normal((B, T, D)) * 0.2,
+                             jnp.bfloat16)
+    q, k, v = mk(), mk(), mk()
+    key = jax.random.PRNGKey(3)
+    seed = fa.derive_seed(key)
+    masks = fa.replay_dropout_masks(seed, B, T, D, H, rate, itemsize=2)
+    proj = jnp.asarray(rng.standard_normal((B, T, D)) * 0.1, jnp.float32)
+
+    def loss_fused(q_, k_, v_):
+        y = fa.fused_mha(q_, k_, v_, H, drop_rate=rate, dropout_rng=key)
+        return jnp.sum(y.astype(jnp.float32) * proj)
+
+    def loss_ref(q_, k_, v_):
+        y = _reference_mha_masked(q_, k_, v_, None, H, jnp.bfloat16, masks)
+        return jnp.sum(y.astype(jnp.float32) * proj)
+
+    g_f = jax.grad(loss_fused, argnums=(0, 1, 2))(q, k, v)
+    g_r = jax.grad(loss_ref, argnums=(0, 1, 2))(q, k, v)
+    for name, a, b in zip("qkv", g_f, g_r):
+        a = np.asarray(a, np.float32)
+        b = np.asarray(b, np.float32)
+        assert np.all(np.isfinite(a)), name
+        scale = np.abs(b).max()
+        assert np.abs(a - b).max() / scale < 0.05, \
+            (name, np.abs(a - b).max(), scale)

@@ -297,3 +297,71 @@ def test_vit_subblock_train_mode_runs_off_tpu():
     y, _ = enc.apply(p, img, False,
                      rngs={"dropout": jax.random.PRNGKey(1)})
     assert np.all(np.isfinite(np.asarray(y)))
+
+
+# --------------------------------------------------------------- v2
+def test_group_weights_roundtrip():
+    """_group_weights + the v2 reference's ungrouping are inverse: the
+    grouped layout computes exactly the ungrouped subblock."""
+    x, wqkv, bqkv, wo, bo = _inputs(B=4, T=9, D=32)
+    H, G = 4, 2
+    wg, bg, wog = fs._group_weights(wqkv, bqkv, wo, H, G)
+    assert wg.shape == (2, 32, 2 * 3 * 8)
+    assert bg.shape == (2, 2 * 3 * 8)
+    assert wog.shape == (2, 2 * 8, 32)
+    got = fs._reference_subblock_v2(x, wg, bg, wog, bo, None, H, G,
+                                    jnp.float32)
+    want = fs._reference_subblock(x, wqkv, bqkv, wo, bo, None, H,
+                                  jnp.float32)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                               rtol=1e-5, atol=1e-5)
+
+
+@cpu_only
+@pytest.mark.parametrize("with_bias", [False, True])
+def test_v2_forward_matches_reference(interpret_pallas, with_bias):
+    x, wqkv, bqkv, wo, bo = _inputs(B=6, T=17, D=32)
+    B, T, D = x.shape
+    bias = None
+    if with_bias:
+        rng = np.random.default_rng(1)
+        bias = jnp.where(jnp.asarray(rng.random((B, T))) > 0.3, 0.0, -1e9)
+    got = fs.fused_attn_subblock_v2(x, wqkv, bqkv, wo, bo, n_heads=4,
+                                    group_size=2, key_bias=bias)
+    want = fs._reference_subblock(x, wqkv, bqkv, wo, bo, bias, 4,
+                                  jnp.float32)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                               rtol=1e-4, atol=1e-4)
+
+
+@cpu_only
+def test_v2_gradients_flow_through_vjp(interpret_pallas):
+    """The v2 custom VJP (grouped-layout XLA recompute) matches autodiff
+    of the ungrouped reference, including the weight grads mapped back
+    through the grouping."""
+    x, wqkv, bqkv, wo, bo = _inputs(B=4, T=9, D=32)
+    rng = np.random.default_rng(2)
+    proj = jnp.asarray(rng.standard_normal(x.shape), jnp.float32)
+
+    def loss_v2(x_, wqkv_, bqkv_, wo_, bo_):
+        y = fs.fused_attn_subblock_v2(x_, wqkv_, bqkv_, wo_, bo_,
+                                      n_heads=4, group_size=2)
+        return jnp.sum(y * proj)
+
+    def loss_ref(x_, wqkv_, bqkv_, wo_, bo_):
+        y = fs._reference_subblock(x_, wqkv_, bqkv_, wo_, bo_, None, 4,
+                                   jnp.float32)
+        return jnp.sum(y * proj)
+
+    g_v2 = jax.grad(loss_v2, argnums=(0, 1, 2, 3, 4))(x, wqkv, bqkv, wo, bo)
+    g_r = jax.grad(loss_ref, argnums=(0, 1, 2, 3, 4))(x, wqkv, bqkv, wo, bo)
+    for name, a, b in zip(["x", "wqkv", "bqkv", "wo", "bo"], g_v2, g_r):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=2e-4, atol=2e-4, err_msg=name)
+
+
+def test_v2_supported_geometry():
+    assert fs.supported_v2(352, 197, 768, 12, 4)
+    assert fs.supported_v2(352, 30, 768, 12, 4)
+    assert not fs.supported_v2(352, 197, 768, 12, 5)   # G must divide H
+    assert not fs.supported_v2(8, 20000, 768, 8, 4)    # VMEM overflow
