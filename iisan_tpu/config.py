@@ -152,7 +152,13 @@ class IISANConfig:
     batch_intra_branches: bool = True
     # Rematerialize tower layers in the uncached backward pass
     # (jax.checkpoint): trades recompute FLOPs for HBM headroom.
-    remat_towers: bool = False
+    # False | True (recompute the whole layer) | "mlp" (full remat
+    # except the pre-GELU (B, T, 4D) MLP hidden, which is STORED so the
+    # backward skips the MLP-up GEMM recompute — ~1/3 of a layer's
+    # forward FLOPs — for ~0.4 GB/layer of storage; the measured middle
+    # ground between full remat and the OOM'ing no-remat for
+    # tower-training methods, FFT_ATTN_AB.json).
+    remat_towers: Any = False
     # Fuse the training epoch, the catalog item-table build, and the valid
     # eval scan into ONE jitted dispatch per epoch (CachedTrainer).  Saves
     # two host->device dispatch round-trips per epoch and lets XLA overlap

@@ -160,8 +160,11 @@ class BertLayer(nn.Module):
         x = nn.LayerNorm(epsilon=1e-12, dtype=jnp.float32,
                          name="attention_layernorm")(
             (x + attn).astype(jnp.float32)).astype(self.dtype)
+        from .vit import _tag_mlp_hidden
+
         h = dense_or_int8(self.intermediate_dim, self.dtype,
                           "intermediate", self.quant)(x)
+        h = _tag_mlp_hidden(h)  # pre-GELU: the "mlp" remat save point
         h = nn.gelu(h, approximate=False)
         h = dense_or_int8(d, self.dtype, "output", self.quant)(h)
         h = nn.Dropout(self.dropout)(h, deterministic=deterministic)
@@ -195,7 +198,9 @@ class BertEncoder(nn.Module):
     adapter_activation: str = "RELU"
     # jax.checkpoint each layer: recompute activations in backward instead
     # of storing them - frees HBM for bigger uncached batches.
-    remat: bool = False
+    # False | True (recompute everything) | "mlp" (full remat except the
+    # stored pre-GELU MLP hidden - see models/vit.py:_remat_policy).
+    remat: Any = False
     # Fused Pallas attention (see BertSelfAttention.fused).
     fused_attention: Any = False
     # "full" | "cls" | "mean" - see ViTEncoder.collect; "mean" stacks the
@@ -225,8 +230,11 @@ class BertEncoder(nn.Module):
         # (1-mask) * large negative added to logits)
         bias = (1.0 - attention_mask.astype(jnp.float32))[:, None, None, :] * -1e9
 
-        layer_cls = nn.remat(BertLayer, static_argnums=(3,)) if self.remat \
-            else BertLayer
+        from .vit import _remat_policy
+
+        layer_cls = nn.remat(BertLayer, static_argnums=(3,),
+                             policy=_remat_policy(self.remat)) \
+            if self.remat else BertLayer
         if self.collect == "cls":
             reduce = lambda h: h[:, 0, :]
         elif self.collect == "mean":

@@ -85,6 +85,27 @@ class ViTSelfAttention(nn.Module):
         return o.transpose(0, 2, 1, 3).reshape(b, t, d)
 
 
+def _remat_policy(remat):
+    """jax.checkpoint policy for a remat mode: True -> None (recompute
+    everything); "mlp" -> full remat EXCEPT the tensor tagged
+    ``mlp_hidden`` (the pre-GELU (B, T, 4D) MLP hidden) which is stored:
+    the backward then skips the MLP-up GEMM recompute (~1/3 of a layer's
+    forward FLOPs) and feeds GELU's VJP directly, for ~0.4 GB/layer of
+    extra storage at the uncached ViT geometry.  The inverse policy
+    (save everything but the MLP hiddens) was measured first and OOM'd
+    a 16 GB v5e on the FFT step — FFT_ATTN_AB.json."""
+    if remat == "mlp":
+        return jax.checkpoint_policies.save_only_these_names("mlp_hidden")
+    return None
+
+
+def _tag_mlp_hidden(h):
+    """checkpoint_name tag consumed by the "mlp" remat policy."""
+    from jax.ad_checkpoint import checkpoint_name
+
+    return checkpoint_name(h, "mlp_hidden")
+
+
 class _ProjParams(nn.Module):
     """Parameter container with nn.Dense's exact tree ({kernel, bias}),
     shapes and initializers — but no GEMM.  Lets the fused subblock path
@@ -193,6 +214,7 @@ class ViTBlock(nn.Module):
             x.astype(jnp.float32)).astype(self.dtype)
         h = dense_or_int8(self.intermediate_dim, self.dtype,
                           "intermediate", self.quant)(h)
+        h = _tag_mlp_hidden(h)  # pre-GELU: the "mlp" remat save point
         h = nn.gelu(h, approximate=False)
         h = dense_or_int8(d, self.dtype, "output", self.quant)(h)
         h = nn.Dropout(self.dropout)(h, deterministic=deterministic)
@@ -224,8 +246,11 @@ class ViTEncoder(nn.Module):
     lora_rank: int = 0
     houlsby_down: int = 0
     adapter_activation: str = "RELU"
-    # jax.checkpoint each block (see BertEncoder.remat)
-    remat: bool = False
+    # Rematerialization of each block in the backward (see
+    # BertEncoder.remat): False | True (recompute everything) | "mlp"
+    # (full remat except the pre-GELU MLP hidden, which is stored so the
+    # backward skips the MLP-up GEMM recompute - see _remat_policy).
+    remat: Any = False
     # Fused Pallas attention: False | True | "subblock" (see ViTBlock).
     fused_attention: Any = False
     # Per-layer hidden-state collection: "full" stacks the whole (B, T, D)
@@ -259,8 +284,9 @@ class ViTEncoder(nn.Module):
         x = x + pos.astype(self.dtype)
 
         x = nn.Dropout(self.dropout)(x, deterministic=deterministic)
-        layer_cls = nn.remat(ViTBlock, static_argnums=(2,)) if self.remat \
-            else ViTBlock
+        layer_cls = nn.remat(ViTBlock, static_argnums=(2,),
+                             policy=_remat_policy(self.remat)) \
+            if self.remat else ViTBlock
         reduce = (lambda h: h[:, 0, :]) if self.collect == "cls" \
             else (lambda h: h)
         hiddens = [reduce(x)]

@@ -145,6 +145,13 @@ def validate_config(cfg: IISANConfig) -> None:
             f"cache_quant={cfg.cache_quant!r} only applies to the cached "
             "pipelines (there is no resident tap table to quantize in "
             f"pipeline={effective_pipeline(cfg)!r})")
+    if cfg.remat_towers not in (False, True, "mlp"):
+        raise ValueError(
+            f"remat_towers={cfg.remat_towers!r}: supported values are "
+            "False (store activations), True (full per-layer remat) and "
+            "'mlp' (full remat except the stored pre-GELU MLP hidden — "
+            "skips the MLP-up GEMM recompute, models/vit.py "
+            "_remat_policy)")
     if cfg.dropout_prng not in ("threefry2x32", "rbg"):
         # 'unsafe_rbg' deliberately rejected (ADVICE r4): it weakens
         # split/fold_in stream independence, which the trainers rely on

@@ -55,6 +55,10 @@ VARIANTS = {
     "fused_remat": dict(fused=True, remat=True),
     "fused_noremat": dict(fused=True, remat=False),
     "xla_noremat": dict(fused=False, remat=False),
+    # full remat + stored pre-GELU MLP hidden (models/vit.py
+    # _remat_policy): the measured middle ground when no-remat OOMs
+    "fused_remat_mlp": dict(fused=True, remat="mlp"),
+    "xla_remat_mlp": dict(fused=False, remat="mlp"),
 }
 V5E_BF16_PEAK_FLOPS = 197e12
 

@@ -114,7 +114,15 @@ def main():
     ap.add_argument("--users", type=int, default=2000)
     ap.add_argument("--dataset", type=str, default="scientific")
     ap.add_argument("--out", default="UNCACHED_LEARNING_PROXY.json")
+    ap.add_argument("--cpu", action="store_true",
+                    help="force the CPU backend (the TPU plugin ignores "
+                         "JAX_PLATFORMS; this uses jax.config before "
+                         "backend init)")
     args = ap.parse_args()
+    if args.cpu:
+        import jax
+
+        jax.config.update("jax_platforms", "cpu")
     seeds = [int(s) for s in args.seeds.split(",")]
 
     from proxy_accuracy import cooc_features, load_dataset, summarize
@@ -154,8 +162,9 @@ def main():
     for seed in seeds:
         for variant in ("informative", "random"):
             key = f"{args.dataset}/{variant}/seed{seed}"
-            if key in done and done[key].get(
-                    "epochs_budget", args.epochs) == args.epochs:
+            if key in done \
+                    and done[key].get("epochs_budget") == args.epochs \
+                    and done[key].get("users_basis") == args.users:
                 print(f"{key}: cached ({done[key]['best_hit10']:.4f})",
                       flush=True)
                 continue
@@ -171,7 +180,7 @@ def main():
             test_hit, test_ndcg = res.best_test_metrics or (None, None)
             done[key] = dict(
                 dataset=args.dataset, variant=variant, seed=seed,
-                epochs_budget=args.epochs,
+                epochs_budget=args.epochs, users_basis=args.users,
                 best_hit10=res.best_hit10, best_ndcg10=res.best_ndcg10,
                 test_hit10=test_hit, test_ndcg10=test_ndcg,
                 best_epoch=res.best_epoch, epochs_run=res.epochs_run,
@@ -186,7 +195,8 @@ def main():
     runs = {}
     for r in done.values():
         if r["dataset"] == args.dataset \
-                and r.get("epochs_budget") == args.epochs:
+                and r.get("epochs_budget") == args.epochs \
+                and r.get("users_basis") == args.users:
             runs.setdefault(r["variant"], []).append(r)
     summary = summarize(runs)
     out = {}

@@ -2,6 +2,7 @@
 registry (IISAN / FFT / LoRA / Houlsby / BitFit), trainability masks."""
 
 import jax
+import jax.numpy as jnp
 import numpy as np
 import pytest
 
@@ -241,3 +242,53 @@ def test_iisan_fine_tune_all_trains_towers():
     tr2.run_epoch(1)
     np.testing.assert_array_equal(w2, np.asarray(
         tr2.params["text_tower"]["bert"]["layer_0"]["intermediate"]["kernel"]))
+
+
+@pytest.mark.parametrize("remat", [True, "mlp"])
+def test_remat_modes_match_noremat_gradients(remat):
+    """remat_towers in {True, 'mlp'} is a memory/time trade, NOT a math
+    change: one FFT train-step gradient must match the no-remat step
+    exactly (same ops, same order, just recomputed)."""
+    import jax
+
+    from iisan_tpu.train.uncached import build_uncached_model
+
+    cfg0 = tiny_cfg(adapter_type="fft", adding_adapter_to="None",
+                    fine_tune_to="all", remat_towers=False)
+    cfgR = tiny_cfg(adapter_type="fft", adding_adapter_to="None",
+                    fine_tune_to="all", remat_towers=remat)
+    rng = np.random.default_rng(0)
+    bs, L = 4, cfg0.max_seq_len
+    ids = jnp.asarray(rng.integers(1, 20, (bs, L + 1)), jnp.int32)
+    mask = jnp.asarray(np.ones((bs, L)), jnp.float32)
+    tokens = np.zeros((bs * (L + 1), 2 * cfg0.num_words_title), np.int32)
+    tokens[:, :cfg0.num_words_title] = rng.integers(
+        1, 99, (bs * (L + 1), cfg0.num_words_title))
+    tokens[:, cfg0.num_words_title:] = 1
+    images = jnp.asarray(
+        rng.standard_normal((bs * (L + 1), cfg0.CV_resize, cfg0.CV_resize,
+                             3)), jnp.float32)
+    pop = jnp.ones((21,), jnp.float32) / 21.0
+
+    grads = {}
+    params = None
+    for tag, cfg in (("none", cfg0), ("remat", cfgR)):
+        model, _ = build_uncached_model(cfg)
+        if params is None:
+            params = model.init(
+                {"params": jax.random.PRNGKey(0),
+                 "dropout": jax.random.PRNGKey(1)},
+                ids, images, jnp.asarray(tokens), mask, pop,
+                deterministic=True)["params"]
+
+        def loss_fn(p):
+            return model.apply({"params": p}, ids, images,
+                               jnp.asarray(tokens), mask, pop,
+                               deterministic=True)
+
+        grads[tag] = jax.grad(loss_fn)(params)
+    flat0 = jax.tree_util.tree_leaves(grads["none"])
+    flatR = jax.tree_util.tree_leaves(grads["remat"])
+    for a, b in zip(flat0, flatR):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=2e-5, atol=2e-6)
