@@ -128,10 +128,22 @@ def main():
         row = out.setdefault(method, {})
         for variant in args.variants.split(","):
             print(f"== {method}/{variant}", flush=True)
-            p = subprocess.run(
-                [sys.executable, __file__, "--one", method, variant,
-                 str(args.steps)],
-                capture_output=True, text=True, timeout=1500)
+            try:
+                p = subprocess.run(
+                    [sys.executable, __file__, "--one", method, variant,
+                     str(args.steps)],
+                    capture_output=True, text=True,
+                    timeout=int(os.environ.get("FFT_AB_TIMEOUT", "2400")))
+            except subprocess.TimeoutExpired:
+                row[variant] = {
+                    "error": "timeout",
+                    "detail": "variant compile/run exceeded the per-row "
+                              "budget (slow tunnel session); rerun with "
+                              "FFT_AB_TIMEOUT raised"}
+                print(json.dumps({variant: row[variant]}), flush=True)
+                with open(args.out, "w") as fh:
+                    json.dump(out, fh, indent=1)
+                continue
             line = p.stdout.strip().splitlines()[-1] if p.stdout.strip() \
                 else ""
             try:
