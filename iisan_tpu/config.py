@@ -155,9 +155,12 @@ class IISANConfig:
     # False | True (recompute the whole layer) | "mlp" (full remat
     # except the pre-GELU (B, T, 4D) MLP hidden, which is STORED so the
     # backward skips the MLP-up GEMM recompute — ~1/3 of a layer's
-    # forward FLOPs — for ~0.4 GB/layer of storage; the measured middle
-    # ground between full remat and the OOM'ing no-remat for
-    # tower-training methods, FFT_ATTN_AB.json).
+    # forward FLOPs — for ~0.4 GB/layer of storage).  MEASURED at the
+    # FFT bs-32 geometry (FFT_ATTN_AB.json): "mlp" is a negative result
+    # there — 544.5 ms / 12.4 GB vs full remat's 532.3 ms / 7.9 GB; the
+    # stored hiddens' HBM round-trip costs more than the skipped
+    # recompute buys.  Kept as a tested option for memory/geometry
+    # regimes where the trade flips (bigger batches, cheaper HBM).
     remat_towers: Any = False
     # Fuse the training epoch, the catalog item-table build, and the valid
     # eval scan into ONE jitted dispatch per epoch (CachedTrainer).  Saves

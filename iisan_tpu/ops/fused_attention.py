@@ -248,7 +248,13 @@ def _make_fused_mha(H: int, B: int, T: int, D: int, dt_name: str,
     bwd_kern = functools.partial(_mha_bwd_kernel, H=H, T=T, D=D, dt=dt,
                                  with_bias=with_bias, rate=rate, train=train)
     # Same grid and block pick as the forward — REQUIRED for the PRNG
-    # replay (program_id seeding + draw shapes must line up).
+    # replay (program_id seeding + draw shapes must line up).  The bwd
+    # moves 7 (Bb, T, D) blocks per program (q/k/v/g in, gq/gk/gv out)
+    # vs the fwd's 4, so at fwd-sized blocks its double-buffered
+    # footprint can exceed Mosaic's conservative default scoped-VMEM
+    # limit (measured: 19.8 MB at the BERT train geometry, Bb=32, T=30)
+    # — raise the limit for this call; the chip's physical VMEM is far
+    # larger and the fwd pick already bounds the true working set.
     bwd_call = pl.pallas_call(
         bwd_kern,
         grid=grid,
@@ -256,6 +262,8 @@ def _make_fused_mha(H: int, B: int, T: int, D: int, dt_name: str,
         out_specs=(blk, blk, blk),
         out_shape=tuple(jax.ShapeDtypeStruct((B, T, D), dt)
                         for _ in range(3)),
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=64 * 2 ** 20),
     )
 
     @jax.custom_vjp
