@@ -187,18 +187,20 @@ class IISANConfig:
     # silently zero tower gradients for methods that train the towers
     # (towers_from_config raises on the combination).
     tower_quant: str = "none"
-    # Fused Pallas encoder attention in the uncached towers; applies to
-    # the frozen-tower IISAN path only (methods that train the towers
-    # always use the XLA path).  True = fused MHA only
-    # (ops/fused_attention.py); "subblock" = one Pallas call per
-    # attention subblock: qkv proj + MHA + out proj
-    # (ops/fused_attn_subblock.py); False = plain XLA.  Measured verdict
-    # (VIT_BLOCK_VARIANTS.json + BERT_ATTN_VARIANTS.json, v5e):
-    # "subblock" loses at BOTH tower geometries (-3.7% ViT-base,
-    # -11%/-12% BERT eval/train) — the kernel's serial per-head loop
-    # costs more than the XLA<->Pallas crossings it removes — so the
-    # default stays True; the value remains accepted as a tested,
-    # numerics-identical negative result.
+    # Fused Pallas encoder attention in the uncached towers — ALL
+    # methods since round 5: the kernel's backward replays the on-chip
+    # dropout PRNG, so tower-training methods (FFT/LoRA/Houlsby/BitFit)
+    # use it too (+34-50% throughput, FFT_ATTN_AB.json).  True = fused
+    # MHA only (ops/fused_attention.py); "subblock"/"subblock_v2" = one
+    # Pallas call per attention subblock: qkv proj + MHA + out proj
+    # (ops/fused_attn_subblock.py; v2 = head-groups on the grid) —
+    # these degrade to True when the towers train (no trainable-weight
+    # bwd); False = plain XLA.  Measured verdict
+    # (VIT_BLOCK_VARIANTS.json + BERT_ATTN_VARIANTS.json, v5e): both
+    # subblock layouts lose at BOTH tower geometries (v1 -3.7% / v2
+    # -15% ViT-base; -11..-13% BERT), pinning the composition tax as a
+    # floor — the default stays True; the values remain accepted as
+    # tested, numerics-identical negative results.
     fused_tower_attention: Any = True
     # Fused Pallas SASRec user-encoder kernels (ops/fused_user_encoder.py).
     # True = auto (kernel on TPU for supported shapes, module path elsewhere);

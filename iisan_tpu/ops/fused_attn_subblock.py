@@ -26,11 +26,14 @@ fp32 via preferred_element_type with bf16 operands, identical to the
 module path's nn.Dense.
 
 Backward: ``jax.custom_vjp`` differentiating the identical-math XLA
-formulation (``_reference_subblock``).  Like fused_mha, the train-mode
-in-kernel dropout masks are not reproducible from XLA, so the bwd raises
-in that configuration; the frozen-tower paths that use this kernel
-stop-gradient at the tap boundary (models/vit.py:144-145 analog) and
-methods that train the towers keep the module path.
+formulation (``_reference_subblock``).  The train-mode in-kernel
+dropout masks are regenerable by PRNG replay (fused_attention.py's bwd
+kernel proves the technique), but since BOTH subblock layouts measured
+as losses (see MEASURED VERDICT below) the replay bwd was implemented
+only for the winning fused_mha kernel; here the train-mode bwd raises,
+and towers.py degrades ``subblock*`` to ``fused_mha`` for methods that
+train the towers.  Frozen-tower paths stop-gradient at the tap
+boundary, so their bwd never runs.
 
 MEASURED VERDICT (scripts/vit_block_variants.py, real v5e,
 VIT_BLOCK_VARIANTS.json `subblock` row): at the ViT-base uncached
@@ -220,13 +223,14 @@ def _make_fused_subblock(H: int, B: int, T: int, D: int, dt_name: str,
 
     def fused_bwd(res, g):
         if train:
-            # In-kernel dropout masks are not reproducible from XLA;
-            # callers gate the kernel to frozen-tower paths where the
-            # gradient stops before attention.
+            # The masks COULD be replayed (see fused_attention.py's bwd
+            # kernel) but both subblock layouts measured as losses, so
+            # the replay bwd lives only on the winning fused_mha path;
+            # towers.py routes tower-training methods there.
             raise NotImplementedError(
                 "fused_attn_subblock backward with active attention "
-                "dropout; use the module path for methods that train "
-                "the towers")
+                "dropout; use fused_mha (replay bwd) or the module "
+                "path for methods that train the towers")
         x, wqkv, bqkv, wo, bo, bias, seed = res
         _, vjp = jax.vjp(
             lambda x_, wqkv_, bqkv_, wo_, bo_: _reference_subblock(
