@@ -118,6 +118,10 @@ def main():
                     help="force the CPU backend (the TPU plugin ignores "
                          "JAX_PLATFORMS; this uses jax.config before "
                          "backend init)")
+    ap.add_argument("--partial", default=PARTIAL,
+                    help="resume-state path (give concurrent dataset "
+                         "runs distinct files; the final --out merge is "
+                         "per-dataset and race-free)")
     args = ap.parse_args()
     if args.cpu:
         import jax
@@ -155,8 +159,8 @@ def main():
     print(f"cooc-SVD features {time.time()-t0:.1f}s", flush=True)
 
     done = {}
-    if os.path.exists(PARTIAL):
-        with open(PARTIAL) as f:
+    if os.path.exists(args.partial):
+        with open(args.partial) as f:
             done = json.load(f)
 
     for seed in seeds:
@@ -185,7 +189,7 @@ def main():
                 test_hit10=test_hit, test_ndcg10=test_ndcg,
                 best_epoch=res.best_epoch, epochs_run=res.epochs_run,
                 wall_seconds=time.time() - t0)
-            with open(PARTIAL, "w") as f:
+            with open(args.partial, "w") as f:
                 json.dump(done, f, indent=1)
             print(f"{key}: Hit@10={res.best_hit10:.4f} "
                   f"test={None if test_hit is None else round(test_hit, 4)} "
