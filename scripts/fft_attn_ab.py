@@ -59,12 +59,19 @@ VARIANTS = {
     # _remat_policy): the measured middle ground when no-remat OOMs
     "fused_remat_mlp": dict(fused=True, remat="mlp"),
     "xla_remat_mlp": dict(fused=False, remat="mlp"),
+    # stacked with the TPU hardware-RNG dropout PRNG (frontier lever)
+    "fused_noremat_rbg": dict(fused=True, remat=False, prng="rbg"),
+    "fused_remat_rbg": dict(fused=True, remat=True, prng="rbg"),
 }
 V5E_BF16_PEAK_FLOPS = 197e12
 
 
 def measure_one(method: str, variant: str, n_steps: int):
+    import jax
     import numpy as np
+
+    prng = VARIANTS[variant].get("prng", "threefry2x32")
+    jax.config.update("jax_default_prng_impl", prng)
 
     from iisan_tpu.config import IISANConfig
     from iisan_tpu.data.images import SyntheticImageStore
@@ -80,7 +87,8 @@ def measure_one(method: str, variant: str, n_steps: int):
                       side_adapter_vit_list="1,3,5,7,9,11",
                       side_adapter_bert_list="1,3,5,7,9,11",
                       fused_tower_attention=v["fused"],
-                      remat_towers=v["remat"], **OVERRIDES[method])
+                      remat_towers=v["remat"], dropout_prng=prng,
+                      **OVERRIDES[method])
     corpus = synthetic_corpus(n_users=256, item_num=600, seed=0)
     rng = np.random.default_rng(0)
     tokens = np.zeros((corpus.item_num + 1, 60), np.int32)
